@@ -1,0 +1,242 @@
+"""Configuration dataclasses for the WalkGPT-TPU stack.
+
+Unlike the reference (argparse flags silently overridden inside the model
+constructor — /root/reference/model/walkgpt.py:174-181, SURVEY WART-3), all
+effective configuration lives here, explicitly. The reference's hardcoded
+choices (448px CLIP resize, separate MSQP projector, 1 feature scale, padded
+CLIP images) are the *defaults* of these dataclasses.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# vision towers
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SAMEncoderConfig:
+    """SAM ViT image encoder (reference: model/segment_anything/modeling/image_encoder.py:17-125)."""
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 1280          # ViT-H
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    use_rel_pos: bool = True
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size  # 64 for 1024/16
+
+
+SAM_VIT_H = SAMEncoderConfig()
+SAM_VIT_L = SAMEncoderConfig(embed_dim=1024, depth=24, num_heads=16,
+                             global_attn_indexes=(5, 11, 17, 23))
+SAM_VIT_B = SAMEncoderConfig(embed_dim=768, depth=12, num_heads=12,
+                             global_attn_indexes=(2, 5, 8, 11))
+# Small config for tests / CI.
+SAM_VIT_TINY = SAMEncoderConfig(img_size=64, patch_size=16, embed_dim=32, depth=2,
+                                num_heads=2, window_size=2, global_attn_indexes=(1,))
+
+
+@dataclasses.dataclass(frozen=True)
+class PromptEncoderConfig:
+    """(reference: prompt_encoder.py:16-186; text_embeds path at :176-177)"""
+    embed_dim: int = 256
+    image_embedding_size: Tuple[int, int] = (64, 64)
+    input_image_size: Tuple[int, int] = (1024, 1024)
+    mask_in_chans: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskDecoderConfig:
+    """(reference: mask_decoder.py:16-164 + transformer.py TwoWayTransformer)"""
+    transformer_dim: int = 256
+    transformer_depth: int = 2
+    transformer_mlp_dim: int = 2048
+    transformer_num_heads: int = 8
+    attention_downsample_rate: int = 2
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+
+    @property
+    def num_mask_tokens(self) -> int:
+        return self.num_multimask_outputs + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP ViT-L/14 vision tower, position embeddings bilinearly resized to
+    image_size=448 (reference: multimodal_encoder/clip_encoder.py:38-55)."""
+    image_size: int = 448
+    native_image_size: int = 224   # pretrain size the pos-emb was trained at
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_dim: int = 4096
+    select_layer: int = -2         # hidden_states[select_layer][:, 1:]
+    aux_layer: int = -11
+    ln_eps: float = 1e-5
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size  # 32 for 448/14
+
+
+CLIP_VIT_L_448 = CLIPVisionConfig()
+CLIP_VIT_TINY = CLIPVisionConfig(image_size=28, native_image_size=28, patch_size=14,
+                                 hidden_size=32, num_layers=2, num_heads=2, mlp_dim=64)
+
+
+# ---------------------------------------------------------------------------
+# LLM decoder — one implementation covering the reference's three backbones
+# (LLaMA: RoPE+RMSNorm+SiLU; MPT: ALiBi+LN+GELU, no biases on qkv;
+#  StableLM-Epoch: partial RoPE + LN + SiLU + GQA)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32                 # < num_heads => GQA (StableLM repeat_kv)
+    max_position_embeddings: int = 2048
+    rope_theta: float = 10000.0
+    rope_pct: float = 1.0                  # StableLM rotates only a fraction of head_dim
+    pos_emb: str = "rope"                  # "rope" | "alibi" (MPT)
+    norm: str = "rmsnorm"                  # "rmsnorm" | "layernorm"
+    norm_eps: float = 1e-6
+    act: str = "silu"                      # "silu" | "gelu"
+    qkv_bias: bool = False
+    mlp_bias: bool = False
+    tie_embeddings: bool = False
+    family: str = "llama"                  # "llama" | "mpt" | "stablelm"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+LLAMA_7B = LLMConfig()
+LLAMA_13B = LLMConfig(hidden_size=5120, intermediate_size=13824,
+                      num_layers=40, num_heads=40, num_kv_heads=40)
+LLAMA_1B = LLMConfig(hidden_size=2048, intermediate_size=5504,
+                     num_layers=16, num_heads=16, num_kv_heads=16)
+LLAMA_TINY = LLMConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                       num_layers=2, num_heads=4, num_kv_heads=4,
+                       max_position_embeddings=512)
+MPT_7B = LLMConfig(hidden_size=4096, intermediate_size=16384, num_layers=32,
+                   num_heads=32, num_kv_heads=32, pos_emb="alibi",
+                   norm="layernorm", norm_eps=1e-5, act="gelu",
+                   vocab_size=50432, tie_embeddings=True, family="mpt")
+STABLELM_3B = LLMConfig(hidden_size=2560, intermediate_size=6912, num_layers=32,
+                        num_heads=32, num_kv_heads=32, rope_pct=0.25,
+                        norm="layernorm", norm_eps=1e-5, vocab_size=50304,
+                        family="stablelm")
+
+
+# ---------------------------------------------------------------------------
+# WalkGPT task modules
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MSQPConfig:
+    """Multi-Scale QFormer Projector (reference: utils/utils_walkgpt.py:220-300)."""
+    sam_dim: int = 256
+    d_proj: int = 1024
+    num_heads: int = 8
+    num_layers: int = 2
+    mlp_ratio: float = 4.0
+    queries_x1: int = 12
+    queries_x2: int = 8
+    queries_x4: int = 8
+    queries_global: int = 4
+    target_square_side: int = 6            # pads 32 queries -> 36 (6x6) tokens
+    gate_hidden: int = 128
+
+    @property
+    def num_queries(self) -> int:
+        return self.queries_x1 + self.queries_x2 + self.queries_x4 + self.queries_global
+
+    @property
+    def num_tokens(self) -> int:
+        return self.target_square_side ** 2
+
+
+@dataclasses.dataclass(frozen=True)
+class CTPConfig:
+    """Calibrated Text Projector (reference: utils/utils_walkgpt.py:302-327)."""
+    out_dim: int = 256
+    widen: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    """Effective loss weighting (reference: train_walkgpt.py:100-103 + the
+    hardcoded 0.2 NCE factor at model/walkgpt.py:593 — SURVEY WART-2)."""
+    ce: float = 0.1
+    dice: float = 0.05
+    bce: float = 0.35
+    nce: float = 0.2
+    label_smoothing: float = 0.1           # reference llava_llama.py:120 (WART-7)
+    nce_tau: float = 0.07
+    nce_topk: int = 8
+    dice_scale: float = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class WalkGPTConfig:
+    llm: LLMConfig = LLAMA_7B
+    sam: SAMEncoderConfig = SAM_VIT_H
+    prompt_encoder: PromptEncoderConfig = PromptEncoderConfig()
+    mask_decoder: MaskDecoderConfig = MaskDecoderConfig()
+    clip: Optional[CLIPVisionConfig] = CLIP_VIT_L_448
+    msqp: MSQPConfig = MSQPConfig()
+    ctp: CTPConfig = CTPConfig()
+    losses: LossWeights = LossWeights()
+    # token bookkeeping (SURVEY §8 invariants)
+    visual_tokens: int = 256               # 16x16 grid spliced into the LLM sequence
+    visual_grid: int = 16
+    seg_token_id: int = -1                 # set after tokenizer build
+    image_token_id: int = -200             # sentinel in raw input_ids
+    ignore_index: int = -100
+    seg_token_num: int = 1
+    image_feature_scale_num: int = 1
+    max_seq_len: int = 2048
+    use_flash_attention: bool = True
+
+    def replace(self, **kw) -> "WalkGPTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(seg_token_id: int = 300) -> WalkGPTConfig:
+    """A full-pipeline config small enough for CPU tests (all submodules real)."""
+    return WalkGPTConfig(
+        llm=LLAMA_TINY,
+        sam=SAM_VIT_TINY,
+        prompt_encoder=PromptEncoderConfig(embed_dim=32,
+                                           image_embedding_size=(4, 4),
+                                           input_image_size=(64, 64),
+                                           mask_in_chans=4),
+        mask_decoder=MaskDecoderConfig(transformer_dim=32, transformer_mlp_dim=64,
+                                       transformer_num_heads=2),
+        clip=CLIP_VIT_TINY,
+        msqp=MSQPConfig(sam_dim=32, d_proj=32, num_heads=2, queries_x1=2, queries_x2=1,
+                        queries_x4=0, queries_global=1, target_square_side=2,
+                        gate_hidden=8),
+        ctp=CTPConfig(out_dim=32),
+        visual_tokens=16, visual_grid=4,
+        seg_token_id=seg_token_id,
+        max_seq_len=256,
+        use_flash_attention=False,
+    )
