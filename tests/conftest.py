@@ -1,17 +1,23 @@
 """Test configuration: force JAX onto CPU with 8 virtual devices so multi-chip
 sharding paths (dp x tp meshes, pjit train steps) run without TPU hardware
-(SURVEY §4 test strategy). Must run before jax is imported anywhere."""
+(SURVEY §4 test strategy).
+
+Note: this environment registers an experimental 'axon' TPU platform plugin
+that overrides JAX_PLATFORMS, so we must force the platform via
+jax.config.update *before* the backend initializes."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def rng():
-    import jax
     return jax.random.PRNGKey(0)

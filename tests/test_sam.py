@@ -1,0 +1,145 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from walkgpt_tpu.core import nn
+from walkgpt_tpu.core.config import SAM_VIT_TINY
+from walkgpt_tpu.models import sam, sam_decoder, sam_encoder, sam_prompt
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    cfg = sam.SamConfig.for_encoder(SAM_VIT_TINY)
+    params = sam.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_encoder_shapes(tiny_sam):
+    cfg, params = tiny_sam
+    x = jnp.zeros((2, 64, 64, 3))
+    feats = sam.encode_image(params, cfg, x)
+    assert feats.shape == (2, 4, 4, 32)
+    assert jnp.isfinite(feats).all()
+
+
+def test_encoder_windowed_vs_global_blocks(tiny_sam):
+    """Block 0 is windowed (window=2), block 1 global — both must run and mix
+    information differently: a perturbation outside the window still reaches
+    all tokens only through the global block."""
+    cfg, params = tiny_sam
+    rng = np.random.RandomState(0)
+    x = jnp.array(rng.randn(1, 64, 64, 3), jnp.float32)
+    base = sam.encode_image(params, cfg, x)
+    x2 = x.at[0, 60:, 60:, :].add(5.0)   # bottom-right patch
+    pert = sam.encode_image(params, cfg, x2)
+    # global attention propagates the perturbation to the far corner
+    assert float(jnp.abs(pert[0, 0, 0] - base[0, 0, 0]).max()) > 0
+
+
+def test_prompt_encoder_text_embeds(tiny_sam):
+    cfg, params = tiny_sam
+    text = jnp.ones((3, 1, 32))
+    sparse, dense = sam_prompt.apply(params["prompt_encoder"], cfg.prompt,
+                                     text_embeds=text)
+    assert sparse.shape == (3, 1, 32)
+    np.testing.assert_array_equal(np.asarray(sparse), np.asarray(text))
+    assert dense.shape == (3, 4, 4, 32)
+    # dense is the broadcast no_mask embedding
+    nm = np.asarray(params["prompt_encoder"]["no_mask_embed"]["w"][0])
+    np.testing.assert_allclose(np.asarray(dense[0, 0, 0]), nm)
+
+
+def test_dense_pe_structure(tiny_sam):
+    cfg, params = tiny_sam
+    pe = sam_prompt.get_dense_pe(params["prompt_encoder"], cfg.prompt)
+    assert pe.shape == (1, 4, 4, 32)
+    # sin^2 + cos^2 == 1 per frequency pair
+    half = 16
+    s, c = np.asarray(pe[0, 2, 3, :half]), np.asarray(pe[0, 2, 3, half:])
+    np.testing.assert_allclose(s * s + c * c, 1.0, atol=1e-5)
+
+
+def test_prompt_encoder_points(tiny_sam):
+    cfg, params = tiny_sam
+    pts = jnp.array([[[10.0, 20.0]]])
+    labels = jnp.array([[1]])
+    sparse, _ = sam_prompt.apply(params["prompt_encoder"], cfg.prompt,
+                                 points=(pts, labels))
+    # padded with a not-a-point entry
+    assert sparse.shape == (1, 2, 32)
+    na = np.asarray(params["prompt_encoder"]["not_a_point_embed"]["w"][0])
+    np.testing.assert_allclose(np.asarray(sparse[0, 1]), na, atol=1e-6)
+
+
+def test_mask_decoder_shapes_and_slicing(tiny_sam):
+    cfg, params = tiny_sam
+    feats = jnp.zeros((1, 4, 4, 32))
+    text = jnp.ones((5, 1, 32))   # 5 [SEG] prompts against one image
+    low_res, iou = sam.decode_masks(params, cfg, feats, text_embeds=text,
+                                    multimask_output=False)
+    assert low_res.shape == (5, 1, 16, 16)     # 4x upscale of 4x4
+    assert iou.shape == (5, 1)
+    multi, iou_m = sam.decode_masks(params, cfg, feats, text_embeds=text,
+                                    multimask_output=True)
+    assert multi.shape == (5, 3, 16, 16) and iou_m.shape == (5, 3)
+
+
+def test_postprocess_masks_crop_then_resize():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(1)
+    low = rng.randn(2, 1, 16, 16).astype(np.float32)
+    got = np.asarray(sam.postprocess_masks(jnp.array(low), img_size=64,
+                                           input_size=(48, 64),
+                                           original_size=(30, 40)))
+    t = torch.from_numpy(low)
+    ref = torch.nn.functional.interpolate(t, (64, 64), mode="bilinear",
+                                          align_corners=False)
+    ref = ref[..., :48, :64]
+    ref = torch.nn.functional.interpolate(ref, (30, 40), mode="bilinear",
+                                          align_corners=False).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_transpose_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(2)
+    p = nn.conv_transpose2d_init(jax.random.PRNGKey(3), 8, 4, (2, 2))
+    x = rng.randn(1, 5, 5, 8).astype(np.float32)
+    got = np.asarray(nn.conv_transpose2d(p, jnp.array(x), stride=(2, 2)))
+    m = torch.nn.ConvTranspose2d(8, 4, 2, stride=2)
+    # HWIO -> torch (in, out, kh, kw)
+    m.weight.data = torch.from_numpy(np.transpose(np.asarray(p["w"]), (2, 3, 0, 1)))
+    m.bias.data = torch.from_numpy(np.asarray(p["b"]))
+    ref = m(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(got, ref.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_layer_norm2d_matches_channel_norm():
+    """Oracle: LayerNorm2d normalizes each spatial position over channels with
+    biased variance (segment_anything common.py semantics)."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 3, 3, 16).astype(np.float32)
+    p = nn.layer_norm_init(16)
+    got = np.asarray(nn.layer_norm2d(p, jnp.array(x)))
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    ref = (x - mu) / np.sqrt(var + 1e-6)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sam_preprocess_pad():
+    x = jnp.ones((1, 48, 64, 3)) * 100.0
+    out = sam.preprocess(x, 64)
+    assert out.shape == (1, 64, 64, 3)
+    assert float(out[0, 50, 0, 0]) == 0.0  # padded region zeroed
+
+
+def test_encoder_jit_compiles_once(tiny_sam):
+    cfg, params = tiny_sam
+    f = jax.jit(lambda p, x: sam.encode_image(p, cfg, x))
+    x = jnp.zeros((1, 64, 64, 3))
+    out1 = f(params, x)
+    out2 = f(params, x + 1.0)
+    assert out1.shape == out2.shape

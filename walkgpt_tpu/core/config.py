@@ -42,7 +42,8 @@ SAM_VIT_B = SAMEncoderConfig(embed_dim=768, depth=12, num_heads=12,
                              global_attn_indexes=(2, 5, 8, 11))
 # Small config for tests / CI.
 SAM_VIT_TINY = SAMEncoderConfig(img_size=64, patch_size=16, embed_dim=32, depth=2,
-                                num_heads=2, window_size=2, global_attn_indexes=(1,))
+                                num_heads=2, out_chans=32, window_size=2,
+                                global_attn_indexes=(1,))
 
 
 @dataclasses.dataclass(frozen=True)

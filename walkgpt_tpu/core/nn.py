@@ -183,9 +183,15 @@ def conv_transpose2d_init(key, in_ch: int, out_ch: int, kernel: Tuple[int, int],
 
 
 def conv_transpose2d(p: Params, x: jnp.ndarray, *, stride: Tuple[int, int]) -> jnp.ndarray:
-    """Transposed conv matching torch ConvTranspose2d(kernel=stride) semantics."""
+    """Transposed conv matching torch ConvTranspose2d semantics.
+
+    jax.lax.conv_transpose applies the kernel unflipped (fractionally-strided
+    conv); torch's ConvTranspose2d is the true conv gradient, which correlates
+    with the spatially flipped kernel — so flip here. Converters then map
+    torch (in, out, kh, kw) -> HWIO by pure axis transpose."""
+    w = jnp.flip(p["w"], axis=(0, 1)).astype(x.dtype)
     y = jax.lax.conv_transpose(
-        x, p["w"].astype(x.dtype), strides=stride, padding="VALID",
+        x, w, strides=stride, padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if "b" in p:

@@ -1,0 +1,113 @@
+"""SAM ViT image encoder, TPU-native.
+
+Functional re-design of the reference encoder
+(model/segment_anything/modeling/image_encoder.py:17-125; ViT-H: 32 blocks,
+window-14 attention with 4 global blocks at {7,15,23,31}, decomposed rel-pos,
+1x1+LN2d+3x3+LN2d neck -> [B, 64, 64, 256]).
+
+TPU choices:
+  * NHWC layout end-to-end (XLA's native conv layout; the neck convs and
+    LayerNorm2d run as channel-last ops).
+  * windows are folded into the batch dimension -> large uniform batched
+    matmuls for the MXU instead of per-window loops.
+  * rel-pos enters as an additive bias to a shared attention primitive, so
+    the same code path runs the reference einsum or a Pallas flash kernel.
+  * fp32 softmax/LN statistics under bf16 params.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nn
+from ..core.config import SAMEncoderConfig
+from ..ops.attention import (decomposed_rel_pos_bias, merge_heads, mha,
+                             split_heads, window_partition, window_unpartition)
+
+
+def init(key, cfg: SAMEncoderConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.depth + 4)
+    grid = cfg.grid
+    params = {
+        "patch_embed": nn.conv2d_init(keys[0], 3, cfg.embed_dim,
+                                      (cfg.patch_size, cfg.patch_size), dtype=dtype),
+        "pos_embed": jnp.zeros((1, grid, grid, cfg.embed_dim), dtype),
+        "blocks": [],
+        "neck": {
+            "conv1": nn.conv2d_init(keys[1], cfg.embed_dim, cfg.out_chans, (1, 1),
+                                    bias=False, dtype=dtype),
+            "ln1": nn.layer_norm_init(cfg.out_chans, dtype),
+            "conv2": nn.conv2d_init(keys[2], cfg.out_chans, cfg.out_chans, (3, 3),
+                                    bias=False, dtype=dtype),
+            "ln2": nn.layer_norm_init(cfg.out_chans, dtype),
+        },
+    }
+    head_dim = cfg.embed_dim // cfg.num_heads
+    for i in range(cfg.depth):
+        k = jax.random.split(keys[3 + i], 6)
+        is_global = i in cfg.global_attn_indexes
+        size = grid if is_global else cfg.window_size
+        blk = {
+            "ln1": nn.layer_norm_init(cfg.embed_dim, dtype),
+            "qkv": nn.linear_init(k[0], cfg.embed_dim, 3 * cfg.embed_dim, dtype=dtype),
+            "proj": nn.linear_init(k[1], cfg.embed_dim, cfg.embed_dim, dtype=dtype),
+            "ln2": nn.layer_norm_init(cfg.embed_dim, dtype),
+            "mlp": nn.mlp_init(k[2], cfg.embed_dim,
+                               int(cfg.embed_dim * cfg.mlp_ratio), dtype=dtype),
+        }
+        if cfg.use_rel_pos:
+            blk["rel_pos_h"] = jnp.zeros((2 * size - 1, head_dim), dtype)
+            blk["rel_pos_w"] = jnp.zeros((2 * size - 1, head_dim), dtype)
+        params["blocks"].append(blk)
+    return params
+
+
+def _attention(p, x: jnp.ndarray, num_heads: int, use_rel_pos: bool) -> jnp.ndarray:
+    """x: [B, H, W, C] (B may include folded windows)."""
+    b, h, w, c = x.shape
+    qkv = nn.linear(p["qkv"], x.reshape(b, h * w, c))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
+    bias = None
+    if use_rel_pos:
+        bias = decomposed_rel_pos_bias(q, p["rel_pos_h"], p["rel_pos_w"],
+                                       (h, w), (h, w))
+    out = merge_heads(mha(q, k, v, bias=bias))
+    return nn.linear(p["proj"], out).reshape(b, h, w, c)
+
+
+def _block(p, x: jnp.ndarray, cfg: SAMEncoderConfig, window: int) -> jnp.ndarray:
+    shortcut = x
+    x = nn.layer_norm(p["ln1"], x)
+    if window > 0:
+        h, w = x.shape[1], x.shape[2]
+        x, pad_hw = window_partition(x, window)
+        x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos)
+        x = window_unpartition(x, window, pad_hw, (h, w))
+    else:
+        x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos)
+    x = shortcut + x
+    return x + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], x), act=nn.gelu_exact)
+
+
+def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """images: [B, img, img, 3] NHWC (already normalized/padded).
+    Returns [B, grid, grid, out_chans] NHWC feature maps."""
+    x = nn.conv2d(params["patch_embed"], images,
+                  stride=(cfg.patch_size, cfg.patch_size), padding="VALID")
+    x = x + params["pos_embed"].astype(x.dtype)
+    for i, blk in enumerate(params["blocks"]):
+        window = 0 if i in cfg.global_attn_indexes else cfg.window_size
+        x = _block(blk, x, cfg, window)
+    # neck in fp32 to mirror the reference's overflow guard (image_encoder.py:118-124)
+    n = params["neck"]
+    y = x.astype(jnp.float32)
+    y = nn.conv2d({k: v.astype(jnp.float32) for k, v in n["conv1"].items()}, y,
+                  padding="VALID")
+    y = nn.layer_norm2d(n["ln1"], y)
+    y = nn.conv2d({k: v.astype(jnp.float32) for k, v in n["conv2"].items()}, y,
+                  padding="SAME")
+    y = nn.layer_norm2d(n["ln2"], y)
+    return y.astype(x.dtype)
