@@ -1,0 +1,160 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from walkgpt_tpu.core.config import LLMConfig, LLAMA_TINY
+from walkgpt_tpu.models import llm
+from walkgpt_tpu.runtime.generate import greedy_generate
+
+MPT_TINY = LLMConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                     num_layers=2, num_heads=4, num_kv_heads=4, pos_emb="alibi",
+                     norm="layernorm", act="gelu", tie_embeddings=True,
+                     family="mpt")
+STABLELM_TINY = LLMConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                          num_layers=2, num_heads=4, num_kv_heads=2,
+                          rope_pct=0.5, norm="layernorm", family="stablelm")
+
+
+@pytest.mark.parametrize("cfg", [LLAMA_TINY, MPT_TINY, STABLELM_TINY],
+                         ids=["llama", "mpt", "stablelm"])
+def test_forward_shapes(cfg):
+    params = llm.init(jax.random.PRNGKey(0), cfg)
+    ids = jnp.array(np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 9)))
+    x = llm.embed(params, ids)
+    hidden, _ = llm.forward(params, cfg, x)
+    assert hidden.shape == (2, 9, cfg.hidden_size)
+    logits = llm.lm_logits(params, cfg, hidden)
+    assert logits.shape == (2, 9, cfg.vocab_size)
+    assert jnp.isfinite(logits).all()
+
+
+def test_causality():
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(1), cfg)
+    ids = jnp.array([[5, 6, 7, 8, 9]])
+    h1, _ = llm.forward(params, cfg, llm.embed(params, ids))
+    ids2 = ids.at[0, 4].set(11)
+    h2, _ = llm.forward(params, cfg, llm.embed(params, ids2))
+    np.testing.assert_allclose(np.asarray(h1[0, :4]), np.asarray(h2[0, :4]),
+                               atol=1e-5)
+    assert float(jnp.abs(h1[0, 4] - h2[0, 4]).max()) > 1e-6
+
+
+def test_rope_properties():
+    cfg = LLAMA_TINY
+    x = jnp.array(np.random.RandomState(2).randn(1, 2, 3, 16), jnp.float32)
+    cos, sin = llm.rope_tables(cfg, jnp.zeros((1, 3), jnp.int32))
+    out0 = llm.apply_rope(x, cos, sin, 16)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x), atol=1e-6)
+    cos, sin = llm.rope_tables(cfg, jnp.array([[0, 1, 2]], jnp.int32))
+    out = llm.apply_rope(x, cos, sin, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                               np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5)
+
+
+def test_partial_rope_keeps_pass_dims():
+    x = jnp.array(np.random.RandomState(3).randn(1, 1, 2, 8), jnp.float32)
+    cos, sin = llm.rope_tables(
+        LLMConfig(hidden_size=32, num_heads=4, rope_pct=0.5),
+        jnp.array([[3, 4]], jnp.int32))
+    out = llm.apply_rope(x, cos, sin, 4)
+    np.testing.assert_array_equal(np.asarray(out[..., 4:]), np.asarray(x[..., 4:]))
+
+
+def test_alibi_slopes_powers_of_two():
+    s = np.asarray(llm.alibi_slopes(8))
+    np.testing.assert_allclose(s, [2 ** (-i) for i in range(1, 9)], rtol=1e-6)
+    s12 = np.asarray(llm.alibi_slopes(12))
+    assert len(s12) == 12 and (s12 > 0).all()
+
+
+@pytest.mark.parametrize("cfg", [LLAMA_TINY, MPT_TINY, STABLELM_TINY],
+                         ids=["llama", "mpt", "stablelm"])
+def test_greedy_generate_matches_naive_recompute(cfg):
+    """KV-cache decode must produce exactly the tokens of full re-forward
+    greedy decoding (token-identical requirement, BASELINE.json)."""
+    params = llm.init(jax.random.PRNGKey(4), cfg)
+    rng = np.random.RandomState(4)
+    prompt = jnp.array(rng.randint(3, cfg.vocab_size, (2, 6)))
+    mask = jnp.ones((2, 6), bool)
+    res = greedy_generate(params, cfg, llm.embed(params, prompt), mask,
+                          max_new_tokens=8, eos_id=2, pad_id=0)
+
+    # naive: re-run the full forward each step
+    seqs = np.asarray(prompt)
+    naive = [[], []]
+    done = [False, False]
+    cur = seqs.copy()
+    for _ in range(8):
+        h, _ = llm.forward(params, cfg, llm.embed(params, jnp.array(cur)))
+        logits = llm.lm_logits(params, cfg, h)[:, -1].astype(jnp.float32)
+        nxt = np.asarray(jnp.argmax(logits, -1))
+        for b in range(2):
+            if not done[b]:
+                naive[b].append(int(nxt[b]))
+                if nxt[b] == 2:
+                    done[b] = True
+        cur = np.concatenate([cur, nxt[:, None]], axis=1)
+
+    got = np.asarray(res.tokens)
+    for b in range(2):
+        want = naive[b] + [0] * (8 - len(naive[b]))
+        assert got[b].tolist() == want, (b, got[b].tolist(), want)
+
+
+def test_greedy_generate_padded_rows_match_unpadded():
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(5), cfg)
+    rng = np.random.RandomState(5)
+    p1 = rng.randint(3, cfg.vocab_size, (1, 4))
+    p2 = rng.randint(3, cfg.vocab_size, (1, 7))
+    # batch with right padding
+    batch = np.zeros((2, 7), np.int64)
+    batch[0, :4] = p1[0]
+    batch[1] = p2[0]
+    mask = np.zeros((2, 7), bool)
+    mask[0, :4] = True
+    mask[1] = True
+    res_b = greedy_generate(params, cfg, llm.embed(params, jnp.array(batch)),
+                            jnp.array(mask), max_new_tokens=5, eos_id=2)
+    res_1 = greedy_generate(params, cfg, llm.embed(params, jnp.array(p1)),
+                            jnp.ones((1, 4), bool), max_new_tokens=5, eos_id=2)
+    res_2 = greedy_generate(params, cfg, llm.embed(params, jnp.array(p2)),
+                            jnp.ones((1, 7), bool), max_new_tokens=5, eos_id=2)
+    assert np.asarray(res_b.tokens)[0].tolist() == np.asarray(res_1.tokens)[0].tolist()
+    assert np.asarray(res_b.tokens)[1].tolist() == np.asarray(res_2.tokens)[0].tolist()
+
+
+def test_pred_hidden_alignment():
+    """pred_hidden[:, t] must be the state that predicted tokens[:, t]:
+    argmax(lm_head(pred_hidden[t])) == tokens[t] for live rows."""
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(6), cfg)
+    prompt = jnp.array(np.random.RandomState(6).randint(3, cfg.vocab_size, (1, 5)))
+    res = greedy_generate(params, cfg, llm.embed(params, prompt),
+                          jnp.ones((1, 5), bool), max_new_tokens=6, eos_id=2)
+    toks = np.asarray(res.tokens)[0]
+    n = int(res.lengths[0])
+    logits = llm.lm_logits(params, cfg, res.pred_hidden[0]).astype(jnp.float32)
+    pred = np.asarray(jnp.argmax(logits, -1))
+    assert (pred[:n] == toks[:n]).all()
+
+
+def test_lora_projection_path():
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(7), cfg)
+    ids = jnp.array([[4, 5, 6]])
+    base, _ = llm.forward(params, cfg, llm.embed(params, ids))
+    # add a LoRA delta on layer-0 q projection
+    import copy
+    p2 = jax.tree_util.tree_map(lambda x: x, params)
+    q = dict(p2["layers"][0]["attn"])
+    q["q"] = dict(q["q"],
+                  lora_a=0.1 * jnp.ones((cfg.hidden_size, 2)),
+                  lora_b=0.1 * jnp.ones((2, cfg.hidden_size)),
+                  lora_scale=2.0)
+    p2["layers"][0] = dict(p2["layers"][0], attn=q)
+    out, _ = llm.forward(p2, cfg, llm.embed(p2, ids))
+    assert float(jnp.abs(out - base).max()) > 1e-6

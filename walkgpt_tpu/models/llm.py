@@ -1,0 +1,346 @@
+"""Unified transformer LLM decoder, TPU-native.
+
+One implementation covers the reference's three vendored backbones
+(SURVEY §2.3):
+  * LLaMA  (model/llava_walkgpt/model/language_model/llava_llama.py)  —
+    RoPE + RMSNorm + SiLU-gated MLP, no biases;
+  * MPT    (language_model/mpt/*) — ALiBi + LayerNorm + GELU MLP, tied
+    embeddings;
+  * StableLM-Epoch (language_model/stablelm/*) — partial RoPE (rope_pct) +
+    LayerNorm + SiLU-gated MLP + GQA (`repeat_kv`).
+
+TPU design:
+  * pure functions over a param pytree — jit/pjit/shard_map friendly; the
+    decode loop is a `lax.scan` over a preallocated HBM KV cache with static
+    shapes (no dynamic lengths inside jit);
+  * attention routes through the shared `mha` primitive (fp32 softmax) and
+    swaps to the Pallas flash kernel for long prefills;
+  * inputs are *embeddings*, not ids — the multimodal layer splices visual
+    tokens before calling in (llava_arch.py prepare_inputs_labels_for_multimodal
+    equivalent lives in models/walkgpt.py).
+
+Optional LoRA (r on q/v projections, reference train_walkgpt.py:263-305) is a
+parallel low-rank path applied when "lora_a"/"lora_b" are present on a
+projection; the merge transform lives in runtime/checkpoint.py.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nn
+from ..core.config import LLMConfig
+from ..ops.attention import merge_heads, mha, split_heads
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: LLMConfig, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    head_dim = cfg.head_dim
+    kv_dim = cfg.num_kv_heads * head_dim
+
+    def norm_init():
+        return (nn.rms_norm_init(cfg.hidden_size, dtype) if cfg.norm == "rmsnorm"
+                else nn.layer_norm_init(cfg.hidden_size, dtype))
+
+    layers = []
+    for i in range(cfg.num_layers):
+        k = jax.random.split(keys[i], 8)
+        layer = {
+            "input_norm": norm_init(),
+            "attn": {
+                "q": nn.linear_init(k[0], cfg.hidden_size, cfg.hidden_size,
+                                    bias=cfg.qkv_bias, dtype=dtype),
+                "k": nn.linear_init(k[1], cfg.hidden_size, kv_dim,
+                                    bias=cfg.qkv_bias, dtype=dtype),
+                "v": nn.linear_init(k[2], cfg.hidden_size, kv_dim,
+                                    bias=cfg.qkv_bias, dtype=dtype),
+                "o": nn.linear_init(k[3], cfg.hidden_size, cfg.hidden_size,
+                                    bias=cfg.qkv_bias, dtype=dtype),
+            },
+            "post_norm": norm_init(),
+        }
+        if cfg.act == "silu":
+            layer["mlp"] = {
+                "gate": nn.linear_init(k[4], cfg.hidden_size, cfg.intermediate_size,
+                                       bias=cfg.mlp_bias, dtype=dtype),
+                "up": nn.linear_init(k[5], cfg.hidden_size, cfg.intermediate_size,
+                                     bias=cfg.mlp_bias, dtype=dtype),
+                "down": nn.linear_init(k[6], cfg.intermediate_size, cfg.hidden_size,
+                                       bias=cfg.mlp_bias, dtype=dtype),
+            }
+        else:
+            layer["mlp"] = {
+                "fc1": nn.linear_init(k[4], cfg.hidden_size, cfg.intermediate_size,
+                                      dtype=dtype),
+                "fc2": nn.linear_init(k[5], cfg.intermediate_size, cfg.hidden_size,
+                                      dtype=dtype),
+            }
+        layers.append(layer)
+
+    params = {
+        "embed_tokens": nn.embedding_init(keys[-3], cfg.vocab_size,
+                                          cfg.hidden_size, dtype=dtype),
+        "layers": layers,
+        "final_norm": norm_init(),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = nn.linear_init(keys[-2], cfg.hidden_size,
+                                           cfg.vocab_size, bias=False, dtype=dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# position encodings
+# ---------------------------------------------------------------------------
+
+def rope_tables(cfg: LLMConfig, positions: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for the rotary dims. positions: [B, T] int32.
+    Returns cos, sin: [B, T, rot_dim/2] fp32."""
+    rot_dim = int(cfg.head_dim * cfg.rope_pct)
+    inv_freq = 1.0 / (cfg.rope_theta **
+                      (jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim))
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq   # [B, T, rot/2]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+               rot_dim: int) -> jnp.ndarray:
+    """x: [B, H, T, D]; HF LLaMA rotate-half convention on the first rot_dim dims."""
+    x_rot, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+    half = rot_dim // 2
+    x1, x2 = x_rot[..., :half], x_rot[..., half:]
+    cos = cos[:, None].astype(x.dtype)    # [B, 1, T, rot/2]
+    sin = sin[:, None].astype(x.dtype)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    if rot_dim < x.shape[-1]:
+        out = jnp.concatenate([out, x_pass], axis=-1)
+    return out
+
+
+def alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Standard ALiBi slopes (powers of 2^(-8/n), with the non-power-of-two
+    interleave fallback)."""
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+    if math.log2(num_heads).is_integer():
+        s = pow2_slopes(num_heads)
+    else:
+        closest = 2 ** math.floor(math.log2(num_heads))
+        s = pow2_slopes(closest)
+        extra = pow2_slopes(2 * closest)[0::2][: num_heads - closest]
+        s = s + extra
+    return jnp.array(s, jnp.float32)
+
+
+def alibi_bias(cfg: LLMConfig, q_pos: jnp.ndarray, k_pos: jnp.ndarray) -> jnp.ndarray:
+    """[H, Tq, Tk] additive bias: -slope * (q - k), 0 on/above the diagonal."""
+    slopes = alibi_slopes(cfg.num_heads)
+    dist = (q_pos[:, None] - k_pos[None, :]).astype(jnp.float32)
+    dist = jnp.maximum(dist, 0.0)
+    return -slopes[:, None, None] * dist[None]
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+def _norm(p, x, cfg: LLMConfig):
+    if cfg.norm == "rmsnorm":
+        return nn.rms_norm(p, x, eps=cfg.norm_eps)
+    return nn.layer_norm(p, x, eps=cfg.norm_eps)
+
+
+def _proj(p, x):
+    y = nn.linear(p, x)
+    if "lora_a" in p:
+        scale = p.get("lora_scale", 1.0)
+        y = y + (x @ p["lora_a"]) @ p["lora_b"] * scale
+    return y
+
+
+def _mlp(p, x, cfg: LLMConfig):
+    if cfg.act == "silu":
+        return nn.linear(p["down"],
+                         jax.nn.silu(nn.linear(p["gate"], x)) * nn.linear(p["up"], x))
+    return nn.linear(p["fc2"], nn.gelu_exact(nn.linear(p["fc1"], x)))
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """[B, n_kv, T, D] -> [B, n_kv*n_rep, T, D] (GQA repeat)."""
+    if n_rep == 1:
+        return x
+    b, h, t, d = x.shape
+    return jnp.broadcast_to(x[:, :, None], (b, h, n_rep, t, d)).reshape(
+        b, h * n_rep, t, d)
+
+
+def _attention(p, cfg: LLMConfig, x: jnp.ndarray, *,
+               positions: jnp.ndarray,
+               mask: Optional[jnp.ndarray],
+               bias: Optional[jnp.ndarray],
+               kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+               flash_fn=None,
+               ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Self-attention. Returns (output, (k, v)) where k/v are the *new* keys/
+    values in [B, n_kv, T, D] (pre-repeat, post-rope) for cache writing.
+    kv_override replaces K/V with cached tensors (decode step)."""
+    b, t, _ = x.shape
+    q = split_heads(_proj(p["q"], x), cfg.num_heads)
+    k = split_heads(_proj(p["k"], x), cfg.num_kv_heads)
+    v = split_heads(_proj(p["v"], x), cfg.num_kv_heads)
+
+    if cfg.pos_emb == "rope":
+        rot_dim = int(cfg.head_dim * cfg.rope_pct)
+        cos, sin = rope_tables(cfg, positions)
+        q = apply_rope(q, cos, sin, rot_dim)
+        k = apply_rope(k, cos, sin, rot_dim)
+
+    new_kv = (k, v)
+    if kv_override is not None:
+        k, v = kv_override
+
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+
+    if flash_fn is not None and bias is None and kv_override is None:
+        out = flash_fn(q, k, v, mask)
+    else:
+        out = mha(q, k, v, mask=mask, bias=bias)
+    return nn.linear(p["o"], merge_heads(out)), new_kv
+
+
+def _block(p, cfg: LLMConfig, x, **attn_kw):
+    h, new_kv = _attention(p["attn"], cfg, _norm(p["input_norm"], x, cfg), **attn_kw)
+    x = x + h
+    x = x + _mlp(p["mlp"], _norm(p["post_norm"], x, cfg), cfg)
+    return x, new_kv
+
+
+def lm_logits(params: Params, cfg: LLMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    if cfg.tie_embeddings:
+        return hidden @ params["embed_tokens"]["w"].T
+    return nn.linear(params["lm_head"], hidden)
+
+
+def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return nn.embed(params["embed_tokens"], ids)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
+                  dtype=jnp.float32) -> Params:
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# forward passes
+# ---------------------------------------------------------------------------
+
+def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
+            attention_mask: Optional[jnp.ndarray] = None,
+            positions: Optional[jnp.ndarray] = None,
+            kv_cache: Optional[Params] = None,
+            flash_fn=None,
+            ) -> Tuple[jnp.ndarray, Optional[Params]]:
+    """Full-sequence (training / prefill) forward.
+
+    inputs_embeds: [B, T, H]; attention_mask: [B, T] bool (True = real token).
+    Returns (final-norm hidden states [B, T, H], updated kv_cache or None).
+    """
+    b, t, _ = inputs_embeds.shape
+    if positions is None:
+        if attention_mask is not None:
+            positions = jnp.maximum(attention_mask.astype(jnp.int32).cumsum(-1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    mask = causal[None, None]
+    if attention_mask is not None:
+        mask = mask & attention_mask[:, None, None, :]
+
+    bias = None
+    if cfg.pos_emb == "alibi":
+        pos = jnp.arange(t, dtype=jnp.int32)
+        bias = alibi_bias(cfg, pos, pos)[None]
+
+    x = inputs_embeds
+    new_cache = {"k": [], "v": []} if kv_cache is not None else None
+    for i, layer in enumerate(params["layers"]):
+        x, (k_new, v_new) = _block(layer, cfg, x, positions=positions, mask=mask,
+                                   bias=bias, flash_fn=flash_fn)
+        if kv_cache is not None:
+            pad = kv_cache["k"].shape[3] - t
+            new_cache["k"].append(jnp.pad(k_new, ((0, 0), (0, 0), (0, pad), (0, 0))))
+            new_cache["v"].append(jnp.pad(v_new, ((0, 0), (0, 0), (0, pad), (0, 0))))
+    x = _norm(params["final_norm"], x, cfg)
+    if kv_cache is not None:
+        new_cache = {"k": jnp.stack(new_cache["k"]), "v": jnp.stack(new_cache["v"])}
+    return x, new_cache
+
+
+def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
+                inputs_embeds: jnp.ndarray, cache_len: jnp.ndarray,
+                key_mask: jnp.ndarray,
+                ) -> Tuple[jnp.ndarray, Params]:
+    """One decode step.
+
+    inputs_embeds: [B, 1, H]; cache_len: [B] int32 — write position per row;
+    key_mask: [B, L_max] bool — valid cache positions *including* this step.
+    Returns (hidden [B, 1, H], updated cache).
+    """
+    b = inputs_embeds.shape[0]
+    positions = cache_len[:, None]
+    bias = None
+    if cfg.pos_emb == "alibi":
+        l_max = kv_cache["k"].shape[3]
+        k_pos = jnp.arange(l_max, dtype=jnp.int32)
+        dist = jnp.maximum(positions[:, :, None] - k_pos[None, None, :], 0
+                           ).astype(jnp.float32)                   # [B, 1, L]
+        bias = -alibi_slopes(cfg.num_heads)[None, :, None, None] \
+            * dist[:, None, :, :]                                  # [B, H, 1, L]
+
+    x = inputs_embeds
+    new_k, new_v = [], []
+    batch_idx = jnp.arange(b)
+    for i, layer in enumerate(params["layers"]):
+        h_in = _norm(layer["input_norm"], x, cfg)
+        # compute this step's k/v, then scatter into the cache at cache_len
+        q = split_heads(_proj(layer["attn"]["q"], h_in), cfg.num_heads)
+        k1 = split_heads(_proj(layer["attn"]["k"], h_in), cfg.num_kv_heads)
+        v1 = split_heads(_proj(layer["attn"]["v"], h_in), cfg.num_kv_heads)
+        if cfg.pos_emb == "rope":
+            rot_dim = int(cfg.head_dim * cfg.rope_pct)
+            cos, sin = rope_tables(cfg, positions)
+            q = apply_rope(q, cos, sin, rot_dim)
+            k1 = apply_rope(k1, cos, sin, rot_dim)
+        k_cache = kv_cache["k"][i].at[batch_idx, :, cache_len].set(
+            k1[:, :, 0].astype(kv_cache["k"].dtype))
+        v_cache = kv_cache["v"][i].at[batch_idx, :, cache_len].set(
+            v1[:, :, 0].astype(kv_cache["v"].dtype))
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+        n_rep = cfg.num_heads // cfg.num_kv_heads
+        att = mha(q, _repeat_kv(k_cache.astype(q.dtype), n_rep),
+                  _repeat_kv(v_cache.astype(q.dtype), n_rep),
+                  mask=key_mask[:, None, None, :], bias=bias)
+        x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
+        x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
+    x = _norm(params["final_norm"], x, cfg)
+    return x, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
