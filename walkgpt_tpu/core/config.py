@@ -94,7 +94,8 @@ class CLIPVisionConfig:
 
 CLIP_VIT_L_448 = CLIPVisionConfig()
 CLIP_VIT_TINY = CLIPVisionConfig(image_size=28, native_image_size=28, patch_size=14,
-                                 hidden_size=32, num_layers=2, num_heads=2, mlp_dim=64)
+                                 hidden_size=32, num_layers=2, num_heads=2, mlp_dim=64,
+                                 select_layer=-2, aux_layer=-1)
 
 
 # ---------------------------------------------------------------------------

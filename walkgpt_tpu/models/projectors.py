@@ -47,13 +47,13 @@ def _xattn_block_init(key, d_model: int, num_heads: int, mlp_ratio: float, dtype
             "norm": nn.layer_norm_init(d_model, dtype),
             "mlp": nn.mlp_init(k[4], d_model, int(d_model * mlp_ratio), dtype=dtype),
         },
-        "_num_heads": num_heads,
     }
 
 
-def _xattn_block(p, queries: jnp.ndarray, kv: jnp.ndarray) -> jnp.ndarray:
+def _xattn_block(p, queries: jnp.ndarray, kv: jnp.ndarray,
+                 num_heads: int) -> jnp.ndarray:
     """Pre-LN cross-attention + FFN with residuals (CrossAttnBlock :163-185)."""
-    nh = p["_num_heads"]
+    nh = num_heads
     q = nn.layer_norm(p["q_norm"], queries)
     k = nn.layer_norm(p["kv_norm"], kv)
     a = p["attn"]
@@ -143,7 +143,7 @@ def msqp_apply(params, cfg: MSQPConfig, sam_tokens: jnp.ndarray) -> jnp.ndarray:
         q = jnp.broadcast_to(params[q_name],
                              (b, *params[q_name].shape[1:])).astype(kv.dtype)
         for blk in params[stack_name]:
-            q = _xattn_block(blk, q, kv)
+            q = _xattn_block(blk, q, kv, cfg.num_heads)
         outs.append(q)
 
     vis = jnp.concatenate(outs, axis=1)                     # [B, num_queries, d]

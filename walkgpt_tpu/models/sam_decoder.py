@@ -34,12 +34,10 @@ def _attn_init(key, d_model: int, num_heads: int, downsample: int, dtype):
         "k": nn.linear_init(k[1], d_model, d_int, dtype=dtype),
         "v": nn.linear_init(k[2], d_model, d_int, dtype=dtype),
         "out": nn.linear_init(k[3], d_int, d_model, dtype=dtype),
-        "_num_heads": num_heads,
     }
 
 
-def _attn(p, q, k, v):
-    nh = p["_num_heads"]
+def _attn(p, q, k, v, nh):
     qh = split_heads(nn.linear(p["q"], q), nh)
     kh = split_heads(nn.linear(p["k"], k), nh)
     vh = split_heads(nn.linear(p["v"], v), nh)
@@ -67,17 +65,18 @@ def _twoway_block_init(key, cfg: MaskDecoderConfig, dtype):
     }
 
 
-def _twoway_block(p, queries, keys, query_pe, key_pe, skip_first_layer_pe: bool):
+def _twoway_block(p, queries, keys, query_pe, key_pe, nh,
+                  skip_first_layer_pe: bool):
     if skip_first_layer_pe:
-        queries = _attn(p["self_attn"], queries, queries, queries)
+        queries = _attn(p["self_attn"], queries, queries, queries, nh)
     else:
         q = queries + query_pe
-        queries = queries + _attn(p["self_attn"], q, q, queries)
+        queries = queries + _attn(p["self_attn"], q, q, queries, nh)
     queries = nn.layer_norm(p["norm1"], queries)
 
     q = queries + query_pe
     k = keys + key_pe
-    queries = queries + _attn(p["cross_t2i"], q, k, keys)
+    queries = queries + _attn(p["cross_t2i"], q, k, keys, nh)
     queries = nn.layer_norm(p["norm2"], queries)
 
     queries = queries + nn.mlp(p["mlp"], queries, act=jax.nn.relu)
@@ -85,7 +84,7 @@ def _twoway_block(p, queries, keys, query_pe, key_pe, skip_first_layer_pe: bool)
 
     q = queries + query_pe
     k = keys + key_pe
-    keys = keys + _attn(p["cross_i2t"], k, q, queries)
+    keys = keys + _attn(p["cross_i2t"], k, q, queries, nh)
     keys = nn.layer_norm(p["norm4"], keys)
     return queries, keys
 
@@ -103,7 +102,8 @@ def twoway_transformer_init(key, cfg: MaskDecoderConfig, dtype=jnp.float32):
 
 
 def twoway_transformer(p, image_embedding: jnp.ndarray, image_pe: jnp.ndarray,
-                       point_embedding: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       point_embedding: jnp.ndarray, nh: int = 8
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """image_embedding/image_pe: [B, H, W, C]; point_embedding: [B, N, C]."""
     b, h, w, c = image_embedding.shape
     keys = image_embedding.reshape(b, h * w, c)
@@ -112,10 +112,10 @@ def twoway_transformer(p, image_embedding: jnp.ndarray, image_pe: jnp.ndarray,
     queries = point_embedding
     for i, layer in enumerate(p["layers"]):
         queries, keys = _twoway_block(layer, queries, keys, point_embedding,
-                                      key_pe, skip_first_layer_pe=(i == 0))
+                                      key_pe, nh, skip_first_layer_pe=(i == 0))
     q = queries + point_embedding
     k = keys + key_pe
-    queries = queries + _attn(p["final_attn"], q, k, keys)
+    queries = queries + _attn(p["final_attn"], q, k, keys, nh)
     queries = nn.layer_norm(p["norm_final"], queries)
     return queries, keys
 
@@ -160,7 +160,8 @@ def predict_masks(p, cfg: MaskDecoderConfig, image_embeddings: jnp.ndarray,
 
     src = jnp.broadcast_to(image_embeddings,
                            (b, *image_embeddings.shape[1:])) + dense_prompt
-    hs, src_out = twoway_transformer(p["transformer"], src, image_pe, tokens)
+    hs, src_out = twoway_transformer(p["transformer"], src, image_pe, tokens,
+                                     cfg.transformer_num_heads)
     iou_token_out = hs[:, 0]
     mask_tokens_out = hs[:, 1:1 + cfg.num_mask_tokens]
 
