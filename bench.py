@@ -1,0 +1,125 @@
+"""walkgpt_tpu benchmark — PAVE end-to-end pipeline throughput on real TPU.
+
+Measures the full grounded-navigation inference pipeline per image
+(BASELINE.json north star):
+    SAM ViT-H encode @1024² -> MSQP -> 256 visual tokens -> llava_v1 prompt
+    prefill -> greedy decode (KV cache) -> [SEG] extraction -> CTP ->
+    SAM mask decode -> 1024² mask canvas
+as ONE compiled XLA program, bf16 params, fp32 softmax/LN.
+
+Model scale (env BENCH_MODEL): "1b" (default) = WalkGPT-1B, the largest
+single-v5e-chip config; "demo" = tiny smoke. 7B/13B require a tp-sharded
+multi-chip mesh (future bench mode).
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md) and cannot run
+here (no GPU, no released weights), so the denominator is an analytic
+estimate of the reference pipeline on one A100-80G with PyTorch:
+WalkGPT-13B greedy 512 new tokens is HBM-bound at ~26 GB weight reads/token
+/ 2.0 TB/s ≈ 13 ms/token -> 6.7 s, + SAM ViT-H fp16 forward ~0.25 s + prefill
+~0.15 s ≈ 7.1 s/image => 0.141 img/s. This is generous to the reference
+(assumes perfect bandwidth utilization, zero python/host overhead).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_A100_IMGS_PER_SEC = 0.141   # analytic estimate, see module docstring
+MAX_NEW_TOKENS = 128
+MAX_SEGS = 16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from walkgpt_tpu.core.config import demo_config, flagship_1b_config
+    from walkgpt_tpu.core import nn
+    from walkgpt_tpu.data import conversation as conv_lib
+    from walkgpt_tpu.data.tokenizer import (ByteTokenizer, setup_walkgpt_tokens,
+                                            tokenizer_image_token)
+    from walkgpt_tpu.models import walkgpt
+
+    model_kind = os.environ.get("BENCH_MODEL", "1b")
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+
+    tok = ByteTokenizer(model_max_length=4096)
+    st = setup_walkgpt_tokens(tok)
+    if model_kind == "demo":
+        cfg = demo_config(seg_token_id=st.seg_token_idx)
+    else:
+        cfg = flagship_1b_config(seg_token_id=st.seg_token_idx)
+    # drop the CLIP tower from the bench model: the deployed PAVE path is
+    # SAM->MSQP tokens (evaluation_walkgpt.py:535-577), CLIP is a parity-only
+    # alternate stream — no reason to hold its weights in HBM here.
+    import dataclasses
+    cfg = dataclasses.replace(cfg, clip=None)
+
+    dtype = jnp.bfloat16
+    params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    n_params = nn.count_params(params)
+
+    # realistic llava_v1 PAVE prompt
+    conv_lib.set_default_conversation("llava_v1")
+    conv = conv_lib.conv_templates["llava_v1"].copy()
+    conv.messages = []
+    conv.append_message(conv.roles[0],
+                        "<image>\nWhich nearby features seem pedestrian-friendly, "
+                        "and which could make movement unsafe?")
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt().replace("<image>",
+                                       "<im_start><image><im_end>")
+    ids = np.array([tokenizer_image_token(prompt, tok)])
+    s = cfg.sam.img_size
+
+    def pipeline(params, images, input_ids, attention_mask):
+        return walkgpt.generate_and_segment(
+            params, cfg, images=images, input_ids=input_ids,
+            attention_mask=attention_mask,
+            row_image_idx=jnp.zeros((1,), jnp.int32),
+            pixel_hw=jnp.array([[s - s // 4, s]]),
+            max_new_tokens=MAX_NEW_TOKENS, max_segs=MAX_SEGS,
+            eos_id=tok.eos_token_id)
+
+    fn = jax.jit(pipeline)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, s, s, 3), dtype)
+    input_ids = jnp.asarray(ids)
+    attn = jnp.ones(ids.shape, bool)
+
+    # compile + warmup. NOTE: on the tunneled 'axon' platform
+    # block_until_ready() returns before execution completes, so all timing
+    # must force a host readback of a value depending on every iteration.
+    out = fn(params, images, input_ids, attn)
+    float(out.tokens.sum())
+
+    t0 = time.perf_counter()
+    acc = []
+    for i in range(iters):
+        out = fn(params, images, input_ids, attn)
+        acc.append(out.tokens.sum() + out.mask_scores.sum())
+    float(sum(acc))          # one readback forcing all queued programs
+    dt = (time.perf_counter() - t0) / iters
+
+    value = 1.0 / dt
+    result = {
+        "metric": (f"PAVE e2e images/sec/chip (WalkGPT-{model_kind}: SAM-ViT-H "
+                   f"encode + MSQP + prefill {ids.shape[1]}+255 tok + greedy "
+                   f"{MAX_NEW_TOKENS} tok + {MAX_SEGS}-SEG mask decode, bf16)"),
+        "value": round(value, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(value / REFERENCE_A100_IMGS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(f"# params={n_params/1e9:.2f}B latency={dt*1000:.1f}ms/image "
+          f"devices={jax.devices()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Sharded training-step tests over a virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from walkgpt_tpu.core.config import tiny_config
+from walkgpt_tpu.data import conversation as conv_lib
+from walkgpt_tpu.data.collate import collate_batch
+from walkgpt_tpu.data.tokenizer import ByteTokenizer, setup_walkgpt_tokens
+from walkgpt_tpu.models import walkgpt
+from walkgpt_tpu.parallel import sharding as shd
+from walkgpt_tpu.runtime import train as tr
+from walkgpt_tpu.runtime.batching import prepare_batch
+from tests.test_walkgpt_model import make_sample
+
+
+@pytest.fixture(scope="module")
+def setup():
+    conv_lib.set_default_conversation("llava_v1")
+    tok = ByteTokenizer(model_max_length=2048)
+    st = setup_walkgpt_tokens(tok)
+    cfg = tiny_config(seg_token_id=st.seg_token_idx)
+    params = walkgpt.init(jax.random.PRNGKey(0), cfg)
+    return tok, st, cfg, params
+
+
+def device_batch(tok, n_imgs=2):
+    samples = [make_sample(tok, n_segs=1 + i % 2, q=f"q{i}?") for i in range(n_imgs)]
+    batch = collate_batch(samples, tok)
+    db = prepare_batch(batch, img_size=64, seq_multiple=32, seg_multiple=8)
+    return {
+        "images": jnp.array(db.images), "input_ids": jnp.array(db.input_ids),
+        "labels": jnp.array(db.labels),
+        "attention_mask": jnp.array(db.attention_mask),
+        "row_image_idx": jnp.array(db.row_image_idx),
+        "gt_masks": jnp.array(db.gt_masks), "pixel_hw": jnp.array(db.pixel_hw),
+    }, db.max_segs
+
+
+def test_warmup_decay_lr():
+    cfg = tr.TrainConfig(lr=1.0, warmup_steps=10, total_steps=110)
+    s = tr.warmup_decay_lr(cfg)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(5)), 0.5)
+    np.testing.assert_allclose(float(s(10)), 1.0)
+    np.testing.assert_allclose(float(s(60)), 0.5)
+    np.testing.assert_allclose(float(s(110)), 0.0)
+    assert float(s(200)) == 0.0
+
+
+def test_trainable_mask_policy(setup):
+    tok, st, cfg, params = setup
+    mask = tr.trainable_mask(params, tr.TrainConfig())
+    flat = {shd._path_str(p): v for p, v in
+            jax.tree_util.tree_flatten_with_path(mask)[0]}
+    assert flat["llm/embed_tokens/w"] is True
+    assert flat["llm/lm_head/w"] is True
+    assert any(k.startswith("sam/mask_decoder") and v for k, v in flat.items())
+    assert all(not v for k, v in flat.items()
+               if k.startswith("sam/image_encoder"))
+    assert all(not v for k, v in flat.items() if k.startswith("llm/layers"))
+    assert all(v for k, v in flat.items() if k.startswith("ctp/"))
+    assert all(v for k, v in flat.items() if k.startswith("msqp/"))
+    assert all(not v for k, v in flat.items() if k.startswith("tiny_xattn"))
+
+
+def test_frozen_params_unchanged_after_step(setup):
+    tok, st, cfg, params = setup
+    tcfg = tr.TrainConfig(warmup_steps=1, total_steps=10)
+    state, opt = tr.init_state(params, tcfg)
+    batch, max_segs = device_batch(tok)
+    new_state, metrics = tr.train_step(state, batch, opt=opt, model_cfg=cfg,
+                                       max_segs=max_segs)
+    # step 0 has lr=0 (linear warmup from zero); take a second step so the
+    # trainable params actually move
+    new_state, metrics = tr.train_step(new_state, batch, opt=opt, model_cfg=cfg,
+                                       max_segs=max_segs)
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen: SAM encoder identical
+    before = jax.tree_util.tree_leaves(params["sam"]["image_encoder"])
+    after = jax.tree_util.tree_leaves(new_state.params["sam"]["image_encoder"])
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # trained: CTP moved
+    moved = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params["ctp"]),
+        jax.tree_util.tree_leaves(state.params["ctp"])))
+    assert moved > 0
+
+
+def test_param_pspecs_tp_rules(setup):
+    tok, st, cfg, params = setup
+    specs = shd.param_pspecs(params, tp=2)
+    flat = {shd._path_str(p): v for p, v in
+            jax.tree_util.tree_flatten_with_path(specs)[0]}
+    from jax.sharding import PartitionSpec as P
+    assert flat["llm/layers/0/attn/q/w"] == P(None, "tp")
+    assert flat["llm/layers/0/attn/o/w"] == P("tp", None)
+    assert flat["llm/layers/0/mlp/gate/w"] == P(None, "tp")
+    assert flat["llm/layers/0/mlp/down/w"] == P("tp", None)
+    assert flat["llm/embed_tokens/w"] == P("tp", None)
+    # norms replicated
+    assert flat["llm/final_norm/scale"] == P()
+
+
+def test_sharded_train_step_runs_on_mesh(setup):
+    tok, st, cfg, params = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = shd.make_mesh(dp=2, tp=4)
+    tcfg = tr.TrainConfig(warmup_steps=1, total_steps=10)
+    state, opt = tr.init_state(params, tcfg)
+    batch, max_segs = device_batch(tok, n_imgs=2)
+    step_fn, sstate, _ = tr.make_sharded_train_step(mesh, opt, cfg, max_segs,
+                                                    state, batch)
+    new_state, metrics = step_fn(sstate, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # one more step reuses the compiled program
+    new_state2, m2 = step_fn(new_state, batch)
+    assert int(new_state2.step) == 2
+    # sharded result matches the unsharded single-device step
+    ref_state, ref_metrics = tr.train_step(state, batch, opt=opt, model_cfg=cfg,
+                                           max_segs=max_segs)
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_metrics["loss"]),
+                               rtol=2e-4)

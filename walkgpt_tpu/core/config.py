@@ -221,6 +221,51 @@ class WalkGPTConfig:
         return dataclasses.replace(self, **kw)
 
 
+def demo_config(seg_token_id: int = 32000) -> WalkGPTConfig:
+    """Mid-size full-pipeline config: every subsystem real, compiles in seconds
+    on one chip. Used by __graft_entry__.entry()."""
+    sam_demo = SAMEncoderConfig(img_size=256, patch_size=16, embed_dim=256,
+                                depth=4, num_heads=8, out_chans=256,
+                                window_size=8, global_attn_indexes=(1, 3))
+    return WalkGPTConfig(
+        llm=LLMConfig(vocab_size=32016, hidden_size=512, intermediate_size=1376,
+                      num_layers=4, num_heads=8, num_kv_heads=8,
+                      max_position_embeddings=2048),
+        sam=sam_demo,
+        prompt_encoder=PromptEncoderConfig(image_embedding_size=(16, 16),
+                                           input_image_size=(256, 256)),
+        mask_decoder=MaskDecoderConfig(),
+        clip=CLIP_VIT_TINY,
+        msqp=MSQPConfig(d_proj=256),
+        ctp=CTPConfig(),
+        seg_token_id=seg_token_id,
+        max_seq_len=1024,
+        use_flash_attention=False,
+    )
+
+
+def flagship_1b_config(seg_token_id: int = 32000) -> WalkGPTConfig:
+    """WalkGPT-1B: full SAM ViT-H @1024 + a 1B-class LLaMA decoder — the
+    largest single-v5e-chip configuration; bench.py's default subject."""
+    return WalkGPTConfig(
+        llm=dataclasses.replace(LLAMA_1B, vocab_size=32016),
+        sam=SAM_VIT_H,
+        seg_token_id=seg_token_id,
+    )
+
+
+def walkgpt_7b_config(seg_token_id: int = 32008) -> WalkGPTConfig:
+    """WalkGPT-7B (reference parity scale; needs tp sharding on v5e)."""
+    return WalkGPTConfig(llm=dataclasses.replace(LLAMA_7B, vocab_size=32016),
+                         seg_token_id=seg_token_id)
+
+
+def walkgpt_13b_config(seg_token_id: int = 32008) -> WalkGPTConfig:
+    """WalkGPT-13B (the reference's released scale; v5e-8 tp=8)."""
+    return WalkGPTConfig(llm=dataclasses.replace(LLAMA_13B, vocab_size=32016),
+                         seg_token_id=seg_token_id)
+
+
 def tiny_config(seg_token_id: int = 300) -> WalkGPTConfig:
     """A full-pipeline config small enough for CPU tests (all submodules real)."""
     return WalkGPTConfig(

@@ -1,0 +1,147 @@
+"""Mesh construction and SPMD sharding rules.
+
+The TPU-native replacement for the reference's distributed runtime
+(DeepSpeed ZeRO-2 + NCCL, SURVEY §2.6): we lay out a 2-D
+(data, model) mesh, annotate parameter shardings, and let XLA insert the
+collectives over ICI. No process groups, no explicit all-reduces.
+
+  * "dp" — batch (conversation rows / images) is sharded on its leading axis;
+    gradients are combined by XLA (psum on ICI) because params are replicated
+    across dp.
+  * "tp" — megatron-style tensor parallelism inside the big matmuls:
+    LLM attention q/k/v and MLP up/gate are column-sharded (output dim on tp),
+    o/down row-sharded (input dim on tp); the SAM ViT qkv/mlp likewise; the
+    vocab embedding and lm_head are vocab-sharded.
+  * ZeRO-1-style optimizer sharding: optimizer-state leaves additionally
+    shard their largest replicated axis over "dp" when divisible
+    (`zero_spec`), mirroring DeepSpeed's partitioned optimizer states.
+
+Small modules (MSQP, CTP, SAM prompt/mask decoder, norms) stay replicated —
+they are noise next to the towers.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int, tp: int, *, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * tp, f"need {dp * tp} devices, have {len(devices)}"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _llm_rule(path: str, ndim: int) -> P:
+    if "embed_tokens" in path or "lm_head" in path:
+        return P("tp", None) if ndim == 2 else P()
+    if "/attn/" in path:
+        if path.endswith("/o/w") or path.endswith("/down/w"):
+            return P("tp", None)
+        if path.endswith("/w"):
+            return P(None, "tp")           # q, k, v column-parallel
+        if path.endswith("/b"):
+            return P("tp") if not (path.endswith("/o/b")) else P()
+    if "/mlp/" in path:
+        if path.endswith("/down/w") or path.endswith("/fc2/w"):
+            return P("tp", None)
+        if path.endswith("/w"):
+            return P(None, "tp")           # gate/up/fc1 column-parallel
+        if path.endswith("/b") and not (path.endswith("down/b") or path.endswith("fc2/b")):
+            return P("tp")
+    return P()
+
+
+def _sam_rule(path: str, ndim: int) -> P:
+    if "image_encoder" in path:
+        if path.endswith("/qkv/w") or path.endswith("fc1/w"):
+            return P(None, "tp")
+        if path.endswith("/qkv/b") or path.endswith("fc1/b"):
+            return P("tp")
+        if path.endswith("/proj/w") or path.endswith("fc2/w"):
+            return P("tp", None)
+    return P()
+
+
+def _clip_rule(path: str, ndim: int) -> P:
+    if path.endswith(("/q/w", "/k/w", "/v/w", "fc1/w")):
+        return P(None, "tp")
+    if path.endswith(("/q/b", "/k/b", "/v/b", "fc1/b")):
+        return P("tp")
+    if path.endswith(("/out/w", "fc2/w")):
+        return P("tp", None)
+    return P()
+
+
+def _spec_for(path: str, shape: Tuple[int, ...], tp: int) -> P:
+    ndim = len(shape)
+    if path.startswith("llm/"):
+        spec = _llm_rule(path, ndim)
+    elif path.startswith("sam/"):
+        spec = _sam_rule(path, ndim)
+    elif path.startswith("clip/"):
+        spec = _clip_rule(path, ndim)
+    else:
+        spec = P()
+    # drop tp-sharding when the axis is not divisible (tiny test configs)
+    for axis, name in enumerate(spec):
+        if name == "tp" and (axis >= ndim or shape[axis] % tp != 0):
+            return P()
+    return spec
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def param_pspecs(params: Any, *, tp: int) -> Any:
+    """PartitionSpec pytree mirroring the parameter tree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(_path_str(path), getattr(leaf, "shape", ()), tp),
+        params)
+
+
+def zero_spec(spec: P, shape: Tuple[int, ...], dp: int) -> P:
+    """ZeRO-1 style: shard the largest replicated axis of an optimizer-state
+    leaf over dp when divisible."""
+    names = list(spec) + [None] * (len(shape) - len(spec))
+    best_axis, best_dim = -1, 0
+    for i, (n, d) in enumerate(zip(names, shape)):
+        if n is None and d % dp == 0 and d > best_dim:
+            best_axis, best_dim = i, d
+    if best_axis >= 0 and dp > 1 and best_dim >= dp:
+        names[best_axis] = "dp"
+    return P(*names)
+
+
+def opt_state_pspecs(opt_state: Any, params_spec: Any, params: Any, *,
+                     dp: int) -> Any:
+    """Spec tree for an optax state: leaves shaped like a param get that
+    param's spec (+ ZeRO dp sharding); scalars/counters are replicated."""
+    flat_params = {id(p): (s, p.shape) for s, p in
+                   zip(jax.tree_util.tree_leaves(params_spec),
+                       jax.tree_util.tree_leaves(params))}
+    shapes = {shape: spec for spec, shape in flat_params.values()}
+
+    def leaf_spec(leaf):
+        shp = getattr(leaf, "shape", ())
+        if shp in shapes:
+            return zero_spec(shapes[shp], shp, dp)
+        return P()
+    return jax.tree_util.tree_map(leaf_spec, opt_state)
+
+
+def shard_tree(tree: Any, mesh: Mesh, specs: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
