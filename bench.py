@@ -48,6 +48,7 @@ def main():
 
     model_kind = os.environ.get("BENCH_MODEL", "1b")
     iters = int(os.environ.get("BENCH_ITERS", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
 
     tok = ByteTokenizer(model_max_length=4096)
     st = setup_walkgpt_tokens(tok)
@@ -82,16 +83,16 @@ def main():
         return walkgpt.generate_and_segment(
             params, cfg, images=images, input_ids=input_ids,
             attention_mask=attention_mask,
-            row_image_idx=jnp.zeros((1,), jnp.int32),
-            pixel_hw=jnp.array([[s - s // 4, s]]),
-            max_new_tokens=MAX_NEW_TOKENS, max_segs=MAX_SEGS,
+            row_image_idx=jnp.arange(batch, dtype=jnp.int32),
+            pixel_hw=jnp.broadcast_to(jnp.array([[s - s // 4, s]]), (batch, 2)),
+            max_new_tokens=MAX_NEW_TOKENS, max_segs=MAX_SEGS * batch,
             eos_id=tok.eos_token_id)
 
     fn = jax.jit(pipeline)
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(1, s, s, 3), dtype)
-    input_ids = jnp.asarray(ids)
-    attn = jnp.ones(ids.shape, bool)
+    images = jnp.asarray(rng.randn(batch, s, s, 3), dtype)
+    input_ids = jnp.asarray(np.repeat(ids, batch, axis=0))
+    attn = jnp.ones(input_ids.shape, bool)
 
     # compile + warmup. NOTE: on the tunneled 'axon' platform
     # block_until_ready() returns before execution completes, so all timing
@@ -107,17 +108,18 @@ def main():
     float(sum(acc))          # one readback forcing all queued programs
     dt = (time.perf_counter() - t0) / iters
 
-    value = 1.0 / dt
+    value = batch / dt
     result = {
         "metric": (f"PAVE e2e images/sec/chip (WalkGPT-{model_kind}: SAM-ViT-H "
                    f"encode + MSQP + prefill {ids.shape[1]}+255 tok + greedy "
-                   f"{MAX_NEW_TOKENS} tok + {MAX_SEGS}-SEG mask decode, bf16)"),
+                   f"{MAX_NEW_TOKENS} tok + {MAX_SEGS}-SEG mask decode, bf16, "
+                   f"batch {batch})"),
         "value": round(value, 4),
         "unit": "images/sec",
         "vs_baseline": round(value / REFERENCE_A100_IMGS_PER_SEC, 2),
     }
     print(json.dumps(result))
-    print(f"# params={n_params/1e9:.2f}B latency={dt*1000:.1f}ms/image "
+    print(f"# params={n_params/1e9:.2f}B latency={dt*1000:.1f}ms/batch{batch} "
           f"devices={jax.devices()}", file=sys.stderr)
 
 

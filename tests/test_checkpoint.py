@@ -1,0 +1,175 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from walkgpt_tpu.core.config import LLAMA_TINY, SAM_VIT_TINY
+from walkgpt_tpu.models import llm, sam_encoder
+from walkgpt_tpu.runtime import checkpoint as ck
+
+
+def test_orbax_roundtrip(tmp_path):
+    params = llm.init(jax.random.PRNGKey(0), LLAMA_TINY)
+    ck.save_orbax(str(tmp_path / "ckpt"), params)
+    loaded = ck.load_orbax(str(tmp_path / "ckpt"), like=params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _export_llama_torch_style(params, num_layers):
+    """Inverse mapping: our tree -> HF-style flat dict (independent of the
+    converter code paths, so the roundtrip cross-checks the mapping)."""
+    sd = {}
+    sd["model.embed_tokens.weight"] = np.asarray(params["embed_tokens"]["w"])
+    sd["model.norm.weight"] = np.asarray(params["final_norm"]["scale"])
+    sd["lm_head.weight"] = np.asarray(params["lm_head"]["w"]).T
+    for i in range(num_layers):
+        l = params["layers"][i]
+        pre = f"model.layers.{i}."
+        sd[pre + "input_layernorm.weight"] = np.asarray(l["input_norm"]["scale"])
+        sd[pre + "post_attention_layernorm.weight"] = np.asarray(
+            l["post_norm"]["scale"])
+        for t, ours in (("q", "q"), ("k", "k"), ("v", "v"), ("o", "o")):
+            sd[pre + f"self_attn.{t}_proj.weight"] = np.asarray(
+                l["attn"][ours]["w"]).T
+        for t in ("gate", "up", "down"):
+            sd[pre + f"mlp.{t}_proj.weight"] = np.asarray(l["mlp"][t]["w"]).T
+    return sd
+
+
+def test_llama_conversion_roundtrip():
+    params = llm.init(jax.random.PRNGKey(1), LLAMA_TINY)
+    sd = _export_llama_torch_style(params, LLAMA_TINY.num_layers)
+    conv = ck.convert_llama(sd, num_layers=LLAMA_TINY.num_layers)
+    ids = jnp.array([[5, 6, 7, 8]])
+    h1, _ = llm.forward(params, LLAMA_TINY, llm.embed(params, ids))
+    merged = ck.load_into(params, {"": None}) if False else None
+    p2 = jax.tree_util.tree_map(lambda a, b: jnp.asarray(b, a.dtype),
+                                params, conv)
+    h2, _ = llm.forward(p2, LLAMA_TINY, llm.embed(p2, ids))
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+
+
+def test_deepspeed_prefix_and_lora_extraction():
+    rng = np.random.RandomState(0)
+    sd = {
+        "module.base_model.model.model.layers.0.self_attn.q_proj."
+        "lora_A.weight": rng.randn(4, 64).astype(np.float32),
+        "module.base_model.model.model.layers.0.self_attn.q_proj."
+        "lora_B.weight": rng.randn(64, 4).astype(np.float32),
+        "module.base_model.model.model.layers.1.self_attn.v_proj."
+        "lora_A.default.weight": rng.randn(4, 64).astype(np.float32),
+        "module.base_model.model.model.layers.1.self_attn.v_proj."
+        "lora_B.default.weight": rng.randn(64, 4).astype(np.float32),
+    }
+    lora = ck.extract_lora(sd, alpha=16.0)
+    assert set(lora) == {0, 1}
+    assert lora[0]["q"]["lora_a"].shape == (64, 4)
+    assert lora[0]["q"]["lora_b"].shape == (4, 64)
+    assert lora[0]["q"]["lora_scale"] == 4.0     # alpha 16 / r 4
+
+
+def test_lora_attach_and_merge_equivalence():
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(1)
+    lora = {0: {"q": {"lora_a": rng.randn(64, 4).astype(np.float32) * 0.1,
+                      "lora_b": rng.randn(4, 64).astype(np.float32) * 0.1,
+                      "lora_scale": 2.0}},
+            1: {"v": {"lora_a": rng.randn(64, 4).astype(np.float32) * 0.1,
+                      "lora_b": rng.randn(4, 64).astype(np.float32) * 0.1,
+                      "lora_scale": 2.0}}}
+    with_lora = ck.attach_lora(params, lora)
+    merged = ck.merge_lora(with_lora)
+    # merged tree has no adapter leaves
+    assert "lora_a" not in merged["layers"][0]["attn"]["q"]
+    ids = jnp.array([[9, 10, 11]])
+    h_lora, _ = llm.forward(with_lora, cfg, llm.embed(with_lora, ids))
+    h_merged, _ = llm.forward(merged, cfg, llm.embed(merged, ids))
+    np.testing.assert_allclose(np.asarray(h_lora), np.asarray(h_merged),
+                               rtol=1e-5, atol=1e-5)
+    # and differs from the base model
+    h_base, _ = llm.forward(params, cfg, llm.embed(params, ids))
+    assert float(jnp.abs(h_lora - h_base).max()) > 1e-6
+
+
+def test_mha_in_proj_conversion_matches_torch():
+    """torch nn.MultiheadAttention -> our split q/k/v mapping, functionally."""
+    torch = pytest.importorskip("torch")
+    d, nh = 16, 2
+    m = torch.nn.MultiheadAttention(d, nh, batch_first=True)
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in m.state_dict().items()}
+    r = ck.SDReader(sd)
+    conv = ck._mha_in_proj(r, "")
+    # strip the leading "." artifacts: name "" produces keys like ".in_proj_weight"
+    rng = np.random.RandomState(2)
+    q = rng.randn(1, 3, d).astype(np.float32)
+    kv = rng.randn(1, 5, d).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = m(torch.from_numpy(q), torch.from_numpy(kv),
+                   torch.from_numpy(kv), need_weights=False)
+    from walkgpt_tpu.core import nn
+    from walkgpt_tpu.ops.attention import mha, split_heads, merge_heads
+    out = mha(split_heads(nn.linear(conv["q"], jnp.array(q)), nh),
+              split_heads(nn.linear(conv["k"], jnp.array(kv)), nh),
+              split_heads(nn.linear(conv["v"], jnp.array(kv)), nh))
+    got = nn.linear(conv["out"], merge_heads(out))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sam_conversion_roundtrip():
+    cfg = SAM_VIT_TINY
+    params = sam_encoder.init(jax.random.PRNGKey(3), cfg)
+    # inverse export
+    sd = {}
+    sd["image_encoder.patch_embed.proj.weight"] = np.transpose(
+        np.asarray(params["patch_embed"]["w"]), (3, 2, 0, 1))
+    sd["image_encoder.patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["b"])
+    sd["image_encoder.pos_embed"] = np.asarray(params["pos_embed"])
+    for i, blk in enumerate(params["blocks"]):
+        pre = f"image_encoder.blocks.{i}."
+        sd[pre + "norm1.weight"] = np.asarray(blk["ln1"]["scale"])
+        sd[pre + "norm1.bias"] = np.asarray(blk["ln1"]["bias"])
+        sd[pre + "norm2.weight"] = np.asarray(blk["ln2"]["scale"])
+        sd[pre + "norm2.bias"] = np.asarray(blk["ln2"]["bias"])
+        sd[pre + "attn.qkv.weight"] = np.asarray(blk["qkv"]["w"]).T
+        sd[pre + "attn.qkv.bias"] = np.asarray(blk["qkv"]["b"])
+        sd[pre + "attn.proj.weight"] = np.asarray(blk["proj"]["w"]).T
+        sd[pre + "attn.proj.bias"] = np.asarray(blk["proj"]["b"])
+        sd[pre + "attn.rel_pos_h"] = np.asarray(blk["rel_pos_h"]) + 0.3
+        sd[pre + "attn.rel_pos_w"] = np.asarray(blk["rel_pos_w"]) + 0.3
+        sd[pre + "mlp.lin1.weight"] = np.asarray(blk["mlp"]["fc1"]["w"]).T
+        sd[pre + "mlp.lin1.bias"] = np.asarray(blk["mlp"]["fc1"]["b"])
+        sd[pre + "mlp.lin2.weight"] = np.asarray(blk["mlp"]["fc2"]["w"]).T
+        sd[pre + "mlp.lin2.bias"] = np.asarray(blk["mlp"]["fc2"]["b"])
+    sd["image_encoder.neck.0.weight"] = np.transpose(
+        np.asarray(params["neck"]["conv1"]["w"]), (3, 2, 0, 1))
+    sd["image_encoder.neck.1.weight"] = np.asarray(params["neck"]["ln1"]["scale"])
+    sd["image_encoder.neck.1.bias"] = np.asarray(params["neck"]["ln1"]["bias"])
+    sd["image_encoder.neck.2.weight"] = np.transpose(
+        np.asarray(params["neck"]["conv2"]["w"]), (3, 2, 0, 1))
+    sd["image_encoder.neck.3.weight"] = np.asarray(params["neck"]["ln2"]["scale"])
+    sd["image_encoder.neck.3.bias"] = np.asarray(params["neck"]["ln2"]["bias"])
+
+    conv = ck.convert_sam_encoder(ck.SDReader(sd).sub("image_encoder."),
+                                  cfg.depth)
+    p2 = jax.tree_util.tree_map(lambda a, b: jnp.asarray(b, a.dtype),
+                                params, conv)
+    x = jnp.array(np.random.RandomState(4).randn(1, 64, 64, 3), jnp.float32)
+    ref = sam_encoder.apply(params, cfg, x)
+    # rel-pos differs (+0.3) so outputs differ from the original...
+    got = sam_encoder.apply(p2, cfg, x)
+    assert got.shape == ref.shape
+    # ...but converting the *unshifted* dict reproduces exactly
+    for k in list(sd):
+        if "rel_pos" in k:
+            sd[k] = sd[k] - 0.3
+    conv2 = ck.convert_sam_encoder(ck.SDReader(sd).sub("image_encoder."),
+                                   cfg.depth)
+    p3 = jax.tree_util.tree_map(lambda a, b: jnp.asarray(b, a.dtype),
+                                params, conv2)
+    got2 = sam_encoder.apply(p3, cfg, x)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=1e-6)

@@ -191,10 +191,13 @@ def _attention(p, cfg: LLMConfig, x: jnp.ndarray, *,
                bias: Optional[jnp.ndarray],
                kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                flash_fn=None,
+               key_valid: Optional[jnp.ndarray] = None,
                ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Self-attention. Returns (output, (k, v)) where k/v are the *new* keys/
     values in [B, n_kv, T, D] (pre-repeat, post-rope) for cache writing.
-    kv_override replaces K/V with cached tensors (decode step)."""
+    kv_override replaces K/V with cached tensors (decode step).
+    flash_fn: fn(q, k, v, key_valid) implementing *causal* attention — used
+    for full-sequence forwards without an explicit bias (the Pallas kernel)."""
     b, t, _ = x.shape
     q = split_heads(_proj(p["q"], x), cfg.num_heads)
     k = split_heads(_proj(p["k"], x), cfg.num_kv_heads)
@@ -215,7 +218,7 @@ def _attention(p, cfg: LLMConfig, x: jnp.ndarray, *,
     v = _repeat_kv(v, n_rep)
 
     if flash_fn is not None and bias is None and kv_override is None:
-        out = flash_fn(q, k, v, mask)
+        out = flash_fn(q, k, v, key_valid)
     else:
         out = mha(q, k, v, mask=mask, bias=bias)
     return nn.linear(p["o"], merge_heads(out)), new_kv
@@ -284,7 +287,8 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
     new_cache = {"k": [], "v": []} if kv_cache is not None else None
     for i, layer in enumerate(params["layers"]):
         x, (k_new, v_new) = _block(layer, cfg, x, positions=positions, mask=mask,
-                                   bias=bias, flash_fn=flash_fn)
+                                   bias=bias, flash_fn=flash_fn,
+                                   key_valid=attention_mask)
         if kv_cache is not None:
             pad = kv_cache["k"].shape[3] - t
             new_cache["k"].append(jnp.pad(k_new, ((0, 0), (0, 0), (0, pad), (0, 0))))

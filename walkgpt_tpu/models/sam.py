@@ -62,9 +62,11 @@ def init(key, cfg: SamConfig, dtype=jnp.float32):
     }
 
 
-def encode_image(params, cfg: SamConfig, images: jnp.ndarray) -> jnp.ndarray:
+def encode_image(params, cfg: SamConfig, images: jnp.ndarray, *,
+                 use_flash: bool = False) -> jnp.ndarray:
     """[B, S, S, 3] -> [B, grid, grid, 256] NHWC."""
-    return sam_encoder.apply(params["image_encoder"], cfg.encoder, images)
+    return sam_encoder.apply(params["image_encoder"], cfg.encoder, images,
+                             use_flash=use_flash)
 
 
 def decode_masks(params, cfg: SamConfig, image_embeddings: jnp.ndarray, *,

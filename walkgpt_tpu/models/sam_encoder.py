@@ -64,35 +64,58 @@ def init(key, cfg: SAMEncoderConfig, dtype=jnp.float32):
     return params
 
 
-def _attention(p, x: jnp.ndarray, num_heads: int, use_rel_pos: bool) -> jnp.ndarray:
+def _rel_projections(q, rel_pos_h, rel_pos_w, h, w):
+    """Per-axis rel-pos projections: ([B,Hd,N,kh], [B,Hd,N,kw]) fp32."""
+    from ..ops.attention import get_rel_pos
+    rh = get_rel_pos(h, h, rel_pos_h)
+    rw = get_rel_pos(w, w, rel_pos_w)
+    b, nh, _, d = q.shape
+    r_q = q.reshape(b, nh, h, w, d).astype(jnp.float32)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", r_q, rh.astype(jnp.float32))
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, rw.astype(jnp.float32))
+    return rel_h.reshape(b, nh, h * w, h), rel_w.reshape(b, nh, h * w, w)
+
+
+def _attention(p, x: jnp.ndarray, num_heads: int, use_rel_pos: bool,
+               use_flash: bool) -> jnp.ndarray:
     """x: [B, H, W, C] (B may include folded windows)."""
     b, h, w, c = x.shape
     qkv = nn.linear(p["qkv"], x.reshape(b, h * w, c))
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
-    bias = None
-    if use_rel_pos:
-        bias = decomposed_rel_pos_bias(q, p["rel_pos_h"], p["rel_pos_w"],
-                                       (h, w), (h, w))
-    out = merge_heads(mha(q, k, v, bias=bias))
+    if use_flash and use_rel_pos:
+        from ..ops.flash_attention import sam_flash_attention
+        rel_h, rel_w = _rel_projections(q, p["rel_pos_h"], p["rel_pos_w"], h, w)
+        out = sam_flash_attention(q, k, v, rel_h.astype(q.dtype),
+                                  rel_w.astype(q.dtype), (h, w))
+    else:
+        bias = None
+        if use_rel_pos:
+            bias = decomposed_rel_pos_bias(q, p["rel_pos_h"], p["rel_pos_w"],
+                                           (h, w), (h, w))
+        out = mha(q, k, v, bias=bias)
+    out = merge_heads(out)
     return nn.linear(p["proj"], out).reshape(b, h, w, c)
 
 
-def _block(p, x: jnp.ndarray, cfg: SAMEncoderConfig, window: int) -> jnp.ndarray:
+def _block(p, x: jnp.ndarray, cfg: SAMEncoderConfig, window: int,
+           use_flash: bool) -> jnp.ndarray:
     shortcut = x
     x = nn.layer_norm(p["ln1"], x)
     if window > 0:
         h, w = x.shape[1], x.shape[2]
         x, pad_hw = window_partition(x, window)
-        x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos)
+        # windowed tiles are tiny (window² tokens) — reference einsum path
+        x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos, use_flash=False)
         x = window_unpartition(x, window, pad_hw, (h, w))
     else:
-        x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos)
+        x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos, use_flash=use_flash)
     x = shortcut + x
     return x + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], x), act=nn.gelu_exact)
 
 
-def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray) -> jnp.ndarray:
+def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray, *,
+          use_flash: bool = False) -> jnp.ndarray:
     """images: [B, img, img, 3] NHWC (already normalized/padded).
     Returns [B, grid, grid, out_chans] NHWC feature maps."""
     x = nn.conv2d(params["patch_embed"], images,
@@ -100,7 +123,7 @@ def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray) -> jnp.ndarray:
     x = x + params["pos_embed"].astype(x.dtype)
     for i, blk in enumerate(params["blocks"]):
         window = 0 if i in cfg.global_attn_indexes else cfg.window_size
-        x = _block(blk, x, cfg, window)
+        x = _block(blk, x, cfg, window, use_flash)
     # neck in fp32 to mirror the reference's overflow guard (image_encoder.py:118-124)
     n = params["neck"]
     y = x.astype(jnp.float32)

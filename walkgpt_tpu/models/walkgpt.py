@@ -77,7 +77,8 @@ def init(key, cfg: WalkGPTConfig, dtype=jnp.float32) -> Dict:
 def encode_sam(params, cfg: WalkGPTConfig, images: jnp.ndarray
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """images [B, S, S, 3] -> (feature maps [B, g, g, C], tokens [B, g*g, C])."""
-    feats = sam.encode_image(params["sam"], sam_config(cfg), images)
+    feats = sam.encode_image(params["sam"], sam_config(cfg), images,
+                             use_flash=cfg.use_flash_attention)
     b, g1, g2, c = feats.shape
     return feats, feats.reshape(b, g1 * g2, c)
 
@@ -203,6 +204,10 @@ def model_forward(params, cfg: WalkGPTConfig, *,
                   flash_fn=None,
                   ) -> ForwardOutput:
     """Fully jittable teacher-forced forward + losses."""
+    if flash_fn is None and cfg.use_flash_attention:
+        from ..ops.flash_attention import flash_attention
+        flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
+                                                       key_valid=kv)
     b = images.shape[0]
     r, t = input_ids.shape
     v = cfg.visual_tokens
@@ -343,6 +348,10 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
     """The `evaluate` pipeline (model/walkgpt.py:607-746), one compiled graph:
     greedy decode from SAM-MSQP visual tokens, extract [SEG] predictor hidden
     states, CTP-project, decode masks against the SAM features."""
+    if flash_fn is None and cfg.use_flash_attention:
+        from ..ops.flash_attention import flash_attention
+        flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
+                                                       key_valid=kv)
     feats, sam_tokens = encode_sam(params, cfg, images)
     vis_rows = visual_tokens(params, cfg, sam_tokens)[row_image_idx]
     sp = splice_visual(params, cfg, input_ids, vis_rows,
