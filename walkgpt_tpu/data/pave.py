@@ -197,6 +197,7 @@ class PAVEDataset:
         seg_token_num: int = 1,
         is_val: bool = False,
         seed: int = 0,
+        pad_size: int = SAM_IMG_SIZE,
     ):
         from . import transforms as T
         self.samples = read_jsonl(jsonl_path)
@@ -206,6 +207,7 @@ class PAVEDataset:
         self.clip_image_size = clip_image_size
         self.samples_per_epoch = samples_per_epoch
         self.is_val = is_val
+        self.pad_size = pad_size
         self._rng = np.random.RandomState(seed)
         self._T = T
         if seg_token_num == 1:
@@ -273,7 +275,8 @@ class PAVEDataset:
         # SAM branch: longest-side resize (image_size), normalize, pad to 1024².
         sam_np = T.resize_longest_side(image_rgb, self.image_size)
         resize = sam_np.shape[:2]
-        image = T.normalize_pad(sam_np, PAVE_PIXEL_MEAN, PAVE_PIXEL_STD, SAM_IMG_SIZE)
+        image = T.normalize_pad(sam_np, PAVE_PIXEL_MEAN, PAVE_PIXEL_STD,
+                                self.pad_size)
 
         label = self._load_label(ex, resize)
 

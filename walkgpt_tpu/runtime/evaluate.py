@@ -1,0 +1,260 @@
+"""Standalone evaluation CLI — the TPU-native counterpart of
+/root/reference/evaluation_walkgpt.py (flags :37-122, validate :877-982,
+response dump :1019-1032).
+
+Per PAVE val sample:
+  1. teacher-forced `model_forward` on the GT conversation produces masks
+     scored against the GT planes (the reference's mask-metric path, which
+     evaluates masks under teacher forcing — SURVEY §3.2 note);
+  2. the generation path (SAM->MSQP tokens, greedy decode) produces the text
+     answer recorded as "Question: ... | Answer: ..." in the responses JSON —
+     byte-compatible with --save_responses_path artifacts.
+
+Metric accumulation follows evaluation_walkgpt.py:895-981: per-mask binary
+{bg, fg} intersection/union histograms (ignore 255), float64 totals, the
+union==0 -> giou+=1 rule, reduced across hosts, reported as
+"{dataset}, giou: %.4f, ciou: %.4f".
+
+Usage (mirrors the reference CLI surface):
+  python -m walkgpt_tpu.runtime.evaluate --val_dataset "PAVE|val" \
+      --dataset_dir ./datasets --weight ckpt.../mp_rank_00_model_states.pt \
+      --save_responses_path out/responses.json
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="WalkGPT-TPU evaluation")
+    p.add_argument("--version", default="", help="tokenizer/LLM path or name")
+    p.add_argument("--model_size", default="tiny",
+                   choices=["tiny", "demo", "1b", "7b", "13b"])
+    p.add_argument("--vision_pretrained", default="", help="SAM .pth path")
+    p.add_argument("--weight", default="", help="full model checkpoint "
+                   "(mp_rank_00_model_states.pt or orbax dir)")
+    p.add_argument("--projector_ckpt", default="", help="out_mm_projector.pt")
+    p.add_argument("--val_dataset", default="PAVE|val")
+    p.add_argument("--dataset_dir", default="./datasets")
+    p.add_argument("--labelmap", default="")
+    p.add_argument("--image_size", default=1024, type=int)
+    p.add_argument("--model_max_length", default=2048, type=int)
+    p.add_argument("--conv_type", default="llava_v1")
+    p.add_argument("--use_mm_start_end", action="store_true", default=True)
+    p.add_argument("--precision", default="bf16",
+                   choices=["fp32", "bf16", "fp16"])
+    p.add_argument("--seg_token_num", default=1, type=int)
+    p.add_argument("--image_feature_scale_num", default=1, type=int)
+    p.add_argument("--max_new_tokens", default=512, type=int)
+    p.add_argument("--val_batch_size", default=1, type=int)
+    p.add_argument("--max_samples", default=-1, type=int,
+                   help="limit evaluated samples (smoke runs)")
+    p.add_argument("--log_base_dir", default="./runs")
+    p.add_argument("--exp_name", default="walkgpt_eval")
+    p.add_argument("--save_responses_path", default="")
+    p.add_argument("--no_console_text", action="store_true", default=False)
+    p.add_argument("--local_rank", default=0, type=int)
+    return p.parse_args(argv)
+
+
+def build_config(args, seg_token_idx):
+    from ..core.config import (demo_config, flagship_1b_config, tiny_config,
+                               walkgpt_7b_config, walkgpt_13b_config)
+    builders = {"tiny": tiny_config, "demo": demo_config,
+                "1b": flagship_1b_config, "7b": walkgpt_7b_config,
+                "13b": walkgpt_13b_config}
+    return builders[args.model_size](seg_token_id=seg_token_idx)
+
+
+def build_model(args, cfg):
+    import jax
+    import jax.numpy as jnp
+    from ..models import walkgpt
+    from . import checkpoint as ck
+
+    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+             "fp16": jnp.float16}[args.precision]
+    params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    if args.vision_pretrained and os.path.exists(args.vision_pretrained):
+        sd = ck.load_torch_state_dict(args.vision_pretrained)
+        params = ck.load_into(params, {"sam": ck.convert_sam(
+            sd, depth=cfg.sam.depth)})
+    if args.projector_ckpt and os.path.exists(args.projector_ckpt):
+        sd = ck.load_torch_state_dict(args.projector_ckpt)
+        params = ck.load_into(params, {"msqp": ck.convert_msqp(sd)})
+    if args.weight and os.path.exists(args.weight):
+        if os.path.isdir(args.weight):
+            params = ck.load_orbax(args.weight, like=params)
+        else:
+            sd = ck.load_torch_state_dict(args.weight)
+            converted = ck.convert_walkgpt_state(sd, cfg)
+            converted["llm"] = ck.merge_lora(converted["llm"])
+            params = ck.load_into(params, converted)
+    return params
+
+
+def _question_prompts(batch, conv_type: str, use_mm_start_end: bool):
+    """Reference _build_question_prompts (:478-532) behavior."""
+    from ..data import conversation as conv_lib
+    prompts, questions = [], []
+    offset = batch["offset"].tolist()
+    for idx in range(len(offset) - 1):
+        q_entry = batch["questions_list"][idx]
+        if isinstance(q_entry, tuple) and q_entry:
+            first = q_entry[0]
+            if isinstance(first, (list, tuple)):
+                q_entry = first
+        if not isinstance(q_entry, (list, tuple)):
+            q_entry = [q_entry]
+        for j in range(offset[idx + 1] - offset[idx]):
+            question = str(q_entry[j]) if j < len(q_entry) else ""
+            q_clean = question.replace(conv_lib.DEFAULT_IMAGE_TOKEN, "").strip()
+            questions.append(q_clean)
+            conv = conv_lib.conv_templates[conv_type].copy()
+            conv.messages = []
+            conv.append_message(conv.roles[0], question)
+            conv.append_message(conv.roles[1], None)
+            prompt = conv.get_prompt()
+            rep = (conv_lib.DEFAULT_IM_START_TOKEN + conv_lib.DEFAULT_IMAGE_TOKEN
+                   + conv_lib.DEFAULT_IM_END_TOKEN if use_mm_start_end
+                   else conv_lib.DEFAULT_IMAGE_TOKEN)
+            prompts.append(prompt.replace(conv_lib.DEFAULT_IMAGE_TOKEN, rep))
+    return prompts, questions
+
+
+def decode_answer(tokenizer, token_row: np.ndarray, length: int) -> str:
+    ids = [int(t) for t in token_row[:length]]
+    while ids and ids[-1] in {tokenizer.eos_token_id, tokenizer.pad_token_id}:
+        ids.pop()
+    text = tokenizer.decode(ids, skip_special_tokens=False) if ids else ""
+    return text.replace("\n", " ").replace("  ", " ").strip()
+
+
+def validate(args, cfg, params, tokenizer, dataset, logger=print):
+    import jax
+    import jax.numpy as jnp
+    from ..data.collate import collate_batch
+    from ..data.tokenizer import tokenizer_image_token
+    from ..models import walkgpt
+    from ..runtime.batching import prepare_batch
+    from ..eval.metrics import IoUAccumulator
+
+    acc = IoUAccumulator()
+    text_log: List[dict] = []
+    n = len(dataset) if args.max_samples < 0 else min(args.max_samples,
+                                                      len(dataset))
+    sid = cfg.seg_token_id
+
+    for i in range(n):
+        sample = dataset[i]
+        batch = collate_batch([sample], tokenizer,
+                              conv_type=args.conv_type,
+                              use_mm_start_end=args.use_mm_start_end)
+        db = prepare_batch(batch, img_size=cfg.sam.img_size,
+                           seg_token_id=sid)
+        # 1. teacher-forced mask metrics
+        out = walkgpt.model_forward(
+            params, cfg, images=jnp.asarray(db.images),
+            input_ids=jnp.asarray(db.input_ids),
+            labels=jnp.asarray(db.labels),
+            attention_mask=jnp.asarray(db.attention_mask),
+            row_image_idx=jnp.asarray(db.row_image_idx),
+            gt_masks=jnp.asarray(db.gt_masks),
+            pixel_hw=jnp.asarray(db.pixel_hw), max_segs=db.max_segs)
+        n_valid = int(out.seg_valid.sum())
+        pred = np.asarray(out.pred_masks[:n_valid])
+        gt = np.asarray(db.gt_masks[:n_valid])
+        h, w = db.resize_list[0]
+        for m in range(min(n_valid, sample.masks.shape[0])):
+            acc.add_mask((pred[m, :h, :w] > 0).astype(np.int64),
+                         gt[m, :h, :w].astype(np.int64))
+
+        # 2. generated answers for the response dump
+        prompts, questions = _question_prompts(batch, args.conv_type,
+                                               args.use_mm_start_end)
+        rows = [tokenizer_image_token(p, tokenizer, return_np=True)
+                for p in prompts]
+        t = max(len(r) for r in rows)
+        ids = np.full((len(rows), t), tokenizer.pad_token_id, np.int64)
+        for j, r in enumerate(rows):
+            ids[j, :len(r)] = r
+        ev = walkgpt.generate_and_segment(
+            params, cfg, images=jnp.asarray(db.images),
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(ids != tokenizer.pad_token_id),
+            row_image_idx=jnp.asarray(db.row_image_idx),
+            pixel_hw=jnp.asarray(db.pixel_hw),
+            max_new_tokens=args.max_new_tokens, max_segs=db.max_segs,
+            eos_id=tokenizer.eos_token_id)
+        toks = np.asarray(ev.tokens)
+        lens = np.asarray(ev.lengths)
+        for j, q in enumerate(questions):
+            answer = decode_answer(tokenizer, toks[j], int(lens[j]))
+            line = f"Question: {q} | Answer: {answer}"
+            if not args.no_console_text:
+                logger(f"[val text] image={db.image_paths[0]}, sample={j} {line}")
+            text_log.append({"image_path": db.image_paths[0],
+                             "response": line})
+
+    acc.all_reduce()
+    res = acc.results()
+    logger(f"{args.val_dataset}, giou: {res['giou']:.4f}, "
+           f"ciou: {res['ciou']:.4f}")
+    return res, text_log
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from ..data import conversation as conv_lib
+    from ..data.pave import PAVEDataset
+    from ..data.tokenizer import build_tokenizer, setup_walkgpt_tokens
+
+    conv_lib.set_default_conversation(args.conv_type)
+    tokenizer = build_tokenizer(args.version or None,
+                                model_max_length=args.model_max_length)
+    st = setup_walkgpt_tokens(tokenizer, seg_token_num=args.seg_token_num,
+                              image_feature_scale_num=args.image_feature_scale_num,
+                              use_mm_start_end=args.use_mm_start_end)
+
+    cfg = build_config(args, st.seg_token_idx)
+    params = build_model(args, cfg)
+
+    name = args.val_dataset.split("|")[0]
+    split = args.val_dataset.split("|")[1] if "|" in args.val_dataset else "val"
+    labelmap = args.labelmap or os.path.join(args.dataset_dir, "labelmap.json")
+    jsonl = os.path.join(args.dataset_dir, f"{split}.jsonl")
+    dataset = PAVEDataset(jsonl, labelmap,
+                          image_size=min(args.image_size, cfg.sam.img_size),
+                          pad_size=cfg.sam.img_size,
+                          is_val=True, seg_token_num=args.seg_token_num)
+
+    # parameter/FLOPs banner (evaluation_walkgpt.py:999-1015)
+    from ..core import nn
+    total = nn.count_params(params)
+    print(f"Model parameters: {total:,} (~{total / 1e9:.2f}B)")
+    print(f"Estimated compute per batch (FLOPs, seq_len="
+          f"{args.model_max_length}): {6 * total * args.model_max_length:,}")
+
+    res, text_log = validate(args, cfg, params, tokenizer, dataset)
+
+    if args.save_responses_path:
+        os.makedirs(os.path.dirname(args.save_responses_path) or ".",
+                    exist_ok=True)
+        with open(args.save_responses_path, "w") as f:
+            json.dump(text_log, f, indent=2)
+        print(f"saved responses to {args.save_responses_path}")
+    return res
+
+
+if __name__ == "__main__":
+    main()

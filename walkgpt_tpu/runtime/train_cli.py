@@ -1,0 +1,268 @@
+"""Training CLI — the TPU-native counterpart of /root/reference/train_walkgpt.py
+(flags :46-146, main :149-670, train loop :673-832).
+
+Differences by design (SURVEY §7):
+  * DeepSpeed ZeRO-2 + NCCL -> one pjit-compiled SPMD train step over a
+    dp x tp mesh with ZeRO-sharded optimizer states (runtime/train.py);
+  * dynamic batch shapes -> fixed seq/seg buckets so XLA compiles once;
+  * checkpoints are Orbax trees plus a projector-only export mirroring
+    save_out_mm_projector (utils/utils_walkgpt.py:360-371);
+  * --auto_resume restores the latest step dir; best checkpoint swaps on val
+    gIoU like train_walkgpt.py:642-670.
+
+Scalar logs keep the reference's names (train/loss, train/ce_loss, ...,
+metrics/total_secs_per_batch) in a JSONL stream (and TensorBoard when
+available).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="WalkGPT-TPU training")
+    p.add_argument("--version", default="", help="tokenizer/base-LLM path")
+    p.add_argument("--model_size", default="tiny",
+                   choices=["tiny", "demo", "1b", "7b", "13b"])
+    p.add_argument("--vision_pretrained", default="")
+    p.add_argument("--weight", default="")
+    p.add_argument("--projector_ckpt", default="")
+    p.add_argument("--dataset", default="PAVE")
+    p.add_argument("--dataset_dir", default="./datasets")
+    p.add_argument("--train_split", default="train")
+    p.add_argument("--val_split", default="val")
+    p.add_argument("--image_size", default=1024, type=int)
+    p.add_argument("--model_max_length", default=2048, type=int)
+    p.add_argument("--conv_type", default="llava_v1")
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--epochs", default=5, type=int)
+    p.add_argument("--steps_per_epoch", default=54, type=int)
+    p.add_argument("--batch_size", default=2, type=int, help="images per step")
+    p.add_argument("--grad_accumulation_steps", default=1, type=int)
+    p.add_argument("--lr", default=2e-4, type=float)
+    p.add_argument("--warmup_num_steps", default=20, type=int)
+    p.add_argument("--ce_loss_weight", default=0.1, type=float)
+    p.add_argument("--dice_loss_weight", default=0.05, type=float)
+    p.add_argument("--bce_loss_weight", default=0.35, type=float)
+    p.add_argument("--nce_loss_weight", default=0.2, type=float,
+                   help="effective weight (the reference hardcodes 0.2; "
+                   "its CLI flag is dead — SURVEY WART-2)")
+    p.add_argument("--train_mask_decoder", action="store_true", default=True)
+    p.add_argument("--max_segs", default=32, type=int)
+    p.add_argument("--seq_multiple", default=256, type=int)
+    p.add_argument("--dp", default=1, type=int)
+    p.add_argument("--tp", default=1, type=int)
+    p.add_argument("--log_base_dir", default="./runs")
+    p.add_argument("--exp_name", default="walkgpt_train")
+    p.add_argument("--auto_resume", action="store_true", default=False)
+    p.add_argument("--no_eval", action="store_true", default=False)
+    p.add_argument("--eval_samples", default=20, type=int)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--max_steps", default=-1, type=int,
+                   help="hard stop (smoke runs)")
+    return p.parse_args(argv)
+
+
+class ScalarLogger:
+    """JSONL scalar stream with the reference's TensorBoard tag names."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.f = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        self.f.write(json.dumps({"tag": tag, "value": float(value),
+                                 "step": int(step)}) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+
+def save_projector(params, out_dir: str, fname: str = "out_mm_projector") -> str:
+    """Projector-only checkpoint (save_out_mm_projector equivalent)."""
+    from . import checkpoint as ck
+    path = os.path.join(out_dir, fname)
+    ck.save_orbax(path, params["msqp"])
+    print(f"[save] wrote projector weights to {path}")
+    return path
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    log_dir = os.path.join(args.log_base_dir, args.exp_name)
+    os.makedirs(log_dir, exist_ok=True)
+    writer = ScalarLogger(log_dir)
+
+    import jax
+    import jax.numpy as jnp
+    from ..core.config import LossWeights
+    from ..data import conversation as conv_lib
+    from ..data.collate import collate_batch
+    from ..data.pave import PAVEDataset
+    from ..data.tokenizer import build_tokenizer, setup_walkgpt_tokens
+    from ..eval.metrics import AverageMeter
+    from ..models import walkgpt
+    from ..parallel import sharding as shd
+    from ..runtime.batching import prepare_batch
+    from . import checkpoint as ck
+    from . import train as tr
+    from .evaluate import build_config, build_model, validate
+
+    conv_lib.set_default_conversation(args.conv_type)
+    tokenizer = build_tokenizer(args.version or None,
+                                model_max_length=args.model_max_length)
+    st = setup_walkgpt_tokens(tokenizer)
+
+    cfg = build_config(args, st.seg_token_idx)
+    cfg = cfg.replace(losses=LossWeights(
+        ce=args.ce_loss_weight, dice=args.dice_loss_weight,
+        bce=args.bce_loss_weight, nce=args.nce_loss_weight))
+    params = build_model(args, cfg)
+
+    jsonl = os.path.join(args.dataset_dir, f"{args.train_split}.jsonl")
+    if not os.path.exists(jsonl):
+        # the public train manifest is an LFS blob in some checkouts; fall back
+        # to the val manifest for pipeline-level runs (documented degradation)
+        fallback = os.path.join(args.dataset_dir, f"{args.val_split}.jsonl")
+        print(f"[warn] {jsonl} missing; using {fallback}")
+        jsonl = fallback
+    labelmap = os.path.join(args.dataset_dir, "labelmap.json")
+    dataset = PAVEDataset(
+        jsonl, labelmap, image_size=min(args.image_size, cfg.sam.img_size),
+        pad_size=cfg.sam.img_size,
+        samples_per_epoch=args.steps_per_epoch * args.batch_size
+        * args.grad_accumulation_steps, seed=args.seed)
+
+    tcfg = tr.TrainConfig(
+        lr=args.lr, warmup_steps=args.warmup_num_steps,
+        total_steps=args.epochs * args.steps_per_epoch,
+        grad_accum=args.grad_accumulation_steps,
+        train_mask_decoder=args.train_mask_decoder)
+    state, opt = tr.init_state(params, tcfg)
+
+    ckpt_root = os.path.join(log_dir, "ckpt_model")
+    start_epoch = 0
+    if args.auto_resume:
+        dirs = sorted(glob.glob(os.path.join(ckpt_root, "global_step*")),
+                      key=lambda d: int(d.rsplit("global_step", 1)[1]))
+        if dirs:
+            latest = dirs[-1]
+            step = int(latest.rsplit("global_step", 1)[1])
+            print(f"[resume] restoring {latest}")
+            state = ck.load_orbax(os.path.join(latest, "state"), like=state)
+            start_epoch = step // max(args.steps_per_epoch, 1)
+
+    def make_batch(indices):
+        samples = [dataset[i] for i in indices]
+        b = collate_batch(samples, tokenizer, conv_type=args.conv_type)
+        db = prepare_batch(b, img_size=cfg.sam.img_size,
+                           seq_multiple=args.seq_multiple,
+                           max_segs=args.max_segs,
+                           seg_token_id=st.seg_token_idx)
+        return {
+            "images": jnp.asarray(db.images),
+            "input_ids": jnp.asarray(db.input_ids),
+            "labels": jnp.asarray(db.labels),
+            "attention_mask": jnp.asarray(db.attention_mask),
+            "row_image_idx": jnp.asarray(db.row_image_idx),
+            "gt_masks": jnp.asarray(db.gt_masks),
+            "pixel_hw": jnp.asarray(db.pixel_hw),
+        }
+
+    n_dev = args.dp * args.tp
+    use_mesh = n_dev > 1
+    rng = np.random.RandomState(args.seed)
+    first = make_batch(rng.randint(0, len(dataset), args.batch_size))
+
+    if use_mesh:
+        mesh = shd.make_mesh(dp=args.dp, tp=args.tp)
+        step_fn, state, _ = tr.make_sharded_train_step(
+            mesh, opt, cfg, args.max_segs, state, first)
+    else:
+        step_fn = jax.jit(lambda s, b: tr.train_step(
+            s, b, opt=opt, model_cfg=cfg, max_segs=args.max_segs))
+
+    batch_time = AverageMeter("time", ":.3f")
+    data_time = AverageMeter("data", ":.3f")
+    best_giou = -1.0
+    global_step = start_epoch * args.steps_per_epoch
+
+    for epoch in range(start_epoch, args.epochs):
+        epoch_t0 = time.time()
+        for it in range(args.steps_per_epoch):
+            t0 = time.time()
+            batch = make_batch(rng.randint(0, len(dataset), args.batch_size))
+            data_time.update(time.time() - t0)
+            state, metrics = step_fn(state, batch)
+            loss = float(metrics["loss"])
+            batch_time.update(time.time() - t0)
+            global_step += 1
+            writer.add_scalar("train/loss", loss, global_step)
+            for k in ("ce_loss", "mask_bce_loss", "mask_dice_loss",
+                      "nce_loss", "mask_loss"):
+                writer.add_scalar(f"train/{k}", float(metrics[k]), global_step)
+            writer.add_scalar("metrics/total_secs_per_batch", batch_time.val,
+                              global_step)
+            writer.add_scalar("metrics/data_secs_per_batch", data_time.val,
+                              global_step)
+            if it % 10 == 0:
+                print(f"epoch {epoch} step {it}/{args.steps_per_epoch} "
+                      f"loss {loss:.4f} ({batch_time.val:.2f}s/it)")
+            if 0 <= args.max_steps <= global_step:
+                break
+        writer.add_scalar("metrics/epoch_time_sec", time.time() - epoch_t0,
+                          epoch)
+
+        # checkpoint
+        step_dir = os.path.join(ckpt_root, f"global_step{global_step}")
+        os.makedirs(step_dir, exist_ok=True)
+        ck.save_orbax(os.path.join(step_dir, "state"), state)
+        with open(os.path.join(ckpt_root, "latest"), "w") as f:
+            f.write(f"global_step{global_step}")
+        save_projector(state.params, step_dir)
+
+        if not args.no_eval:
+            val_jsonl = os.path.join(args.dataset_dir, f"{args.val_split}.jsonl")
+            val_ds = PAVEDataset(val_jsonl, labelmap,
+                                 image_size=min(args.image_size,
+                                                cfg.sam.img_size),
+                                 pad_size=cfg.sam.img_size, is_val=True)
+            va = argparse.Namespace(**vars(args))
+            va.max_samples = args.eval_samples
+            va.max_new_tokens = 32
+            va.use_mm_start_end = True
+            va.no_console_text = True
+            va.val_dataset = f"{args.dataset}|{args.val_split}"
+            res, _ = validate(va, cfg, state.params, tokenizer, val_ds)
+            writer.add_scalar("val/giou", res["giou"], epoch)
+            writer.add_scalar("val/ciou", res["ciou"], epoch)
+            if res["giou"] > best_giou:
+                best_giou = res["giou"]
+                best_dir = os.path.join(log_dir, "best_ckpt_model")
+                ck.save_orbax(os.path.join(
+                    best_dir, f"meta_log_giou{best_giou:.3f}"), state.params)
+                print(f"[best] giou {best_giou:.4f} -> {best_dir}")
+        if 0 <= args.max_steps <= global_step:
+            break
+
+    print(f"training done at step {global_step}")
+    return state
+
+
+if __name__ == "__main__":
+    main()
