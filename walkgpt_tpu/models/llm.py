@@ -260,10 +260,13 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
             positions: Optional[jnp.ndarray] = None,
             kv_cache: Optional[Params] = None,
             flash_fn=None,
+            remat: bool = False,
             ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Full-sequence (training / prefill) forward.
 
     inputs_embeds: [B, T, H]; attention_mask: [B, T] bool (True = real token).
+    remat=True rematerializes each block on the backward pass (the TPU
+    equivalent of HF gradient_checkpointing_enable, train_walkgpt.py:245).
     Returns (final-norm hidden states [B, T, H], updated kv_cache or None).
     """
     b, t, _ = inputs_embeds.shape
@@ -285,10 +288,15 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
 
     x = inputs_embeds
     new_cache = {"k": [], "v": []} if kv_cache is not None else None
+
+    def block_fn(layer, x):
+        return _block(layer, cfg, x, positions=positions, mask=mask,
+                      bias=bias, flash_fn=flash_fn, key_valid=attention_mask)
+    if remat:
+        block_fn = jax.checkpoint(block_fn,
+                                  policy=jax.checkpoint_policies.nothing_saveable)
     for i, layer in enumerate(params["layers"]):
-        x, (k_new, v_new) = _block(layer, cfg, x, positions=positions, mask=mask,
-                                   bias=bias, flash_fn=flash_fn,
-                                   key_valid=attention_mask)
+        x, (k_new, v_new) = block_fn(layer, x)
         if kv_cache is not None:
             pad = kv_cache["k"].shape[3] - t
             new_cache["k"].append(jnp.pad(k_new, ((0, 0), (0, 0), (0, pad), (0, 0))))

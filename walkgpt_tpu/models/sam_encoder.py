@@ -115,15 +115,21 @@ def _block(p, x: jnp.ndarray, cfg: SAMEncoderConfig, window: int,
 
 
 def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray, *,
-          use_flash: bool = False) -> jnp.ndarray:
+          use_flash: bool = False, remat: bool = False) -> jnp.ndarray:
     """images: [B, img, img, 3] NHWC (already normalized/padded).
-    Returns [B, grid, grid, out_chans] NHWC feature maps."""
+    Returns [B, grid, grid, out_chans] NHWC feature maps. remat=True
+    rematerializes each block under grad (memory <-> FLOPs trade)."""
     x = nn.conv2d(params["patch_embed"], images,
                   stride=(cfg.patch_size, cfg.patch_size), padding="VALID")
     x = x + params["pos_embed"].astype(x.dtype)
     for i, blk in enumerate(params["blocks"]):
         window = 0 if i in cfg.global_attn_indexes else cfg.window_size
-        x = _block(blk, x, cfg, window, use_flash)
+        block_fn = _block
+        if remat:
+            block_fn = jax.checkpoint(
+                _block, policy=jax.checkpoint_policies.nothing_saveable,
+                static_argnums=(2, 3, 4))
+        x = block_fn(blk, x, cfg, window, use_flash)
     # neck in fp32 to mirror the reference's overflow guard (image_encoder.py:118-124)
     n = params["neck"]
     y = x.astype(jnp.float32)
