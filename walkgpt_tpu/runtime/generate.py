@@ -24,6 +24,31 @@ from ..core.config import LLMConfig
 from ..models import llm
 
 
+def truncate_at_keywords(tokens, keyword_id_seqs, tokenizer=None,
+                         keywords=None):
+    """Host-side KeywordsStoppingCriteria equivalent (mm_utils.py:56-88):
+    truncate a generated id sequence at the first occurrence of any keyword id
+    sequence; when a tokenizer+keywords are given, also stop when the decoded
+    tail contains the keyword string. Returns the truncated list."""
+    toks = [int(t) for t in tokens]
+    cut = len(toks)
+    for seq in keyword_id_seqs:
+        seq = [int(s) for s in seq]
+        n = len(seq)
+        for i in range(len(toks) - n + 1):
+            if toks[i:i + n] == seq:
+                cut = min(cut, i)
+                break
+    if tokenizer is not None and keywords:
+        for i in range(1, len(toks) + 1):
+            tail = tokenizer.decode(toks[max(0, i - 3):i],
+                                    skip_special_tokens=True)
+            if any(k in tail for k in keywords):
+                cut = min(cut, i)
+                break
+    return toks[:cut]
+
+
 class GenerateResult(NamedTuple):
     tokens: jnp.ndarray        # [B, max_new] generated ids (pad after EOS)
     pred_hidden: jnp.ndarray   # [B, max_new, H] hidden state that predicted each token

@@ -41,6 +41,8 @@ class TrainConfig:
     train_mask_decoder: bool = True
     train_tiny_xattn: bool = False   # reference leaves TinyCrossAttn frozen
     full_finetune: bool = False      # True trains the whole LLM (no LoRA set)
+    tune_projector_only: bool = False  # LLaVA stage-1 adapter pretrain
+                                       # (train/train.py tune_mm_mlp_adapter)
 
 
 def warmup_decay_lr(cfg: TrainConfig):
@@ -58,6 +60,8 @@ def warmup_decay_lr(cfg: TrainConfig):
 def trainable_mask(params: Any, cfg: TrainConfig) -> Any:
     """Bool pytree: True = trained (reference requires_grad policy)."""
     def rule(path_str: str) -> bool:
+        if cfg.tune_projector_only:
+            return path_str.startswith(("msqp/", "mm_projector"))
         if cfg.full_finetune and path_str.startswith("llm/"):
             return True
         if "lora_" in path_str:
