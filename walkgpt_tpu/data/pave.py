@@ -266,17 +266,19 @@ class PAVEDataset:
 
         img_path, image_rgb = self._load_image(ex)
 
-        # CLIP branch: pad path with PAVE stats (pad_train_clip_images=True).
-        clip_np = T.resize_longest_side(image_rgb, self.clip_image_size)
-        clip_resize = clip_np.shape[:2]
-        image_clip = T.normalize_pad(clip_np, PAVE_PIXEL_MEAN, PAVE_PIXEL_STD,
-                                     self.clip_image_size)
+        # Both streams run the fused native resize+normalize+pad when the
+        # C++ library is available (byte-identical to the PIL path).
+        from . import native_loader as NL
 
-        # SAM branch: longest-side resize (image_size), normalize, pad to 1024².
-        sam_np = T.resize_longest_side(image_rgb, self.image_size)
-        resize = sam_np.shape[:2]
-        image = T.normalize_pad(sam_np, PAVE_PIXEL_MEAN, PAVE_PIXEL_STD,
-                                self.pad_size)
+        # CLIP branch: pad path with PAVE stats (pad_train_clip_images=True).
+        image_clip, clip_resize = NL.preprocess_stream(
+            image_rgb, self.clip_image_size, self.clip_image_size,
+            PAVE_PIXEL_MEAN, PAVE_PIXEL_STD)
+
+        # SAM branch: longest-side resize (image_size), normalize, pad square.
+        image, resize = NL.preprocess_stream(
+            image_rgb, self.image_size, self.pad_size,
+            PAVE_PIXEL_MEAN, PAVE_PIXEL_STD)
 
         label = self._load_label(ex, resize)
 

@@ -212,6 +212,79 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
     return res, text_log
 
 
+def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
+    """Hungarian-matched multi-mask evaluation for MultiReasonSeg-style data
+    (reference ar_validate, train_walkgpt.py:836-1161 / evaluation_walkgpt.py
+    :611-874): generate, decode all [SEG] masks, assign predictions to GT by
+    point-sampled BCE+dice cost, score matched IoU; per-rank JSON artifacts."""
+    import jax.numpy as jnp
+    from ..data.collate import collate_batch
+    from ..data.tokenizer import tokenizer_image_token
+    from ..eval.matcher import match_pred
+    from ..eval.metrics import AverageMeter, IoUAccumulator
+    from ..models import walkgpt
+    from ..runtime.batching import prepare_batch
+
+    acc = IoUAccumulator()
+    records = []
+    n = len(dataset) if args.max_samples < 0 else min(args.max_samples,
+                                                      len(dataset))
+    for i in range(n):
+        sample = dataset[i]
+        batch = collate_batch([sample], tokenizer, conv_type=args.conv_type,
+                              use_mm_start_end=args.use_mm_start_end)
+        db = prepare_batch(batch, img_size=cfg.sam.img_size,
+                           seg_token_id=cfg.seg_token_id)
+        prompts, questions = _question_prompts(batch, args.conv_type,
+                                               args.use_mm_start_end)
+        rows = [tokenizer_image_token(p, tokenizer, return_np=True)
+                for p in prompts]
+        t = max(len(r) for r in rows)
+        ids = np.full((len(rows), t), tokenizer.pad_token_id, np.int64)
+        for j, r in enumerate(rows):
+            ids[j, :len(r)] = r
+        ev = walkgpt.generate_and_segment(
+            params, cfg, images=jnp.asarray(db.images),
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(ids != tokenizer.pad_token_id),
+            row_image_idx=jnp.asarray(db.row_image_idx),
+            pixel_hw=jnp.asarray(db.pixel_hw),
+            max_new_tokens=args.max_new_tokens, max_segs=db.max_segs,
+            eos_id=tokenizer.eos_token_id)
+
+        n_pred = int(ev.seg_valid.sum())
+        gt = np.asarray(db.gt_masks)
+        n_gt = int(sum(m.shape[0] for m in batch["masks_list"]))
+        h, w = db.resize_list[0]
+        sample_ious = []
+        if n_pred > 0 and n_gt > 0:
+            pred = np.asarray(ev.pred_masks[:n_pred])[:, :h, :w]
+            gt_b = gt[:n_gt][:, :h, :w]
+            pi, ti = match_pred(pred, gt_b)
+            for p_idx, t_idx in zip(pi, ti):
+                acc.add_mask((pred[p_idx] > 0).astype(np.int64),
+                             gt_b[t_idx].astype(np.int64))
+                inter = ((pred[p_idx] > 0) & (gt_b[t_idx] > 0.5)).sum()
+                union = ((pred[p_idx] > 0) | (gt_b[t_idx] > 0.5)).sum()
+                sample_ious.append(float(inter / (union + 1e-10)))
+        answer = decode_answer(tokenizer, np.asarray(ev.tokens)[0],
+                               int(ev.lengths[0]))
+        records.append({"image_path": db.image_paths[0],
+                        "pred_count": n_pred, "gt_count": n_gt,
+                        "ious": sample_ious, "answer": answer})
+
+    acc.all_reduce()
+    res = acc.results()
+    out_dir = os.path.join(args.log_base_dir, args.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"out_file_{args.local_rank}.json"),
+              "w") as f:
+        json.dump(records, f, indent=2)
+    logger(f"{args.val_dataset} [ar], giou: {res['giou']:.4f}, "
+           f"ciou: {res['ciou']:.4f}")
+    return res, records
+
+
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -231,12 +304,20 @@ def main(argv=None):
 
     name = args.val_dataset.split("|")[0]
     split = args.val_dataset.split("|")[1] if "|" in args.val_dataset else "val"
-    labelmap = args.labelmap or os.path.join(args.dataset_dir, "labelmap.json")
-    jsonl = os.path.join(args.dataset_dir, f"{split}.jsonl")
-    dataset = PAVEDataset(jsonl, labelmap,
-                          image_size=min(args.image_size, cfg.sam.img_size),
-                          pad_size=cfg.sam.img_size,
-                          is_val=True, seg_token_num=args.seg_token_num)
+    if name == "MultiReasonSeg":
+        from ..data.seg_datasets import MultiReasonSegValDataset
+        dataset = MultiReasonSegValDataset(
+            args.dataset_dir, json_name=f"muse_{split}.json",
+            image_size=min(args.image_size, cfg.sam.img_size),
+            pad_size=cfg.sam.img_size)
+    else:
+        labelmap = args.labelmap or os.path.join(args.dataset_dir,
+                                                 "labelmap.json")
+        jsonl = os.path.join(args.dataset_dir, f"{split}.jsonl")
+        dataset = PAVEDataset(jsonl, labelmap,
+                              image_size=min(args.image_size, cfg.sam.img_size),
+                              pad_size=cfg.sam.img_size,
+                              is_val=True, seg_token_num=args.seg_token_num)
 
     # parameter/FLOPs banner (evaluation_walkgpt.py:999-1015)
     from ..core import nn
@@ -245,7 +326,10 @@ def main(argv=None):
     print(f"Estimated compute per batch (FLOPs, seq_len="
           f"{args.model_max_length}): {6 * total * args.model_max_length:,}")
 
-    res, text_log = validate(args, cfg, params, tokenizer, dataset)
+    if name == "MultiReasonSeg":
+        res, text_log = ar_validate(args, cfg, params, tokenizer, dataset)
+    else:
+        res, text_log = validate(args, cfg, params, tokenizer, dataset)
 
     if args.save_responses_path:
         os.makedirs(os.path.dirname(args.save_responses_path) or ".",
