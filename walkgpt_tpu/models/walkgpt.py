@@ -409,9 +409,41 @@ def finalize_masks(pred_canvas: jnp.ndarray, input_hw: Tuple[int, int],
 # WART-4) — pixels -> CLIP tower -> mm_projector -> [B, P, H] tokens
 # ---------------------------------------------------------------------------
 
+def clip_padding_masks(cfg: WalkGPTConfig, clip_resize_hw: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Padding masks for the padded-CLIP pixel path (llava_arch.py:160-193):
+    clip_resize_hw [B, 2] valid (h, w) per image ->
+      (token mask [B, 1+P] over [class]+patch tokens,
+       LLM-side mask [B, visual_tokens] nearest-downsampled to the 16x16 grid).
+    """
+    assert cfg.clip is not None
+    p = cfg.clip.patch_size
+    g = cfg.clip.grid
+    b = clip_resize_hw.shape[0]
+    # patch grid validity: a patch row/col is valid when its nearest source
+    # pixel (torch F.interpolate nearest on the pixel mask) is inside (h, w).
+    # nearest with floor indexing: patch i samples pixel floor(i * p + ...)
+    idx = jnp.floor(jnp.arange(g) * (cfg.clip.image_size / g)).astype(jnp.int32)
+    rows = idx[None, :] < clip_resize_hw[:, 0, None]
+    cols = idx[None, :] < clip_resize_hw[:, 1, None]
+    patch_valid = (rows[:, :, None] & cols[:, None, :])           # [B, g, g]
+    cls = jnp.ones((b, 1), bool)
+    token_mask = jnp.concatenate([cls, patch_valid.reshape(b, g * g)], axis=1)
+    # LLM-side 16x16 mask: nearest-downsample the patch grid
+    t = cfg.visual_grid
+    tr = jnp.floor(jnp.arange(t) * (g / t)).astype(jnp.int32)
+    llm_mask = patch_valid[:, tr[:, None], tr[None, :]].reshape(b, t * t)
+    return token_mask, llm_mask
+
+
 def encode_clip_tokens(params, cfg: WalkGPTConfig, images_clip: jnp.ndarray, *,
-                       attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                       attention_mask: Optional[jnp.ndarray] = None,
+                       clip_resize_hw: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """CLIP pixel path (encode_images mode b). When clip_resize_hw is given,
+    padding masks are derived from it (the reference's vit_attention_mask)."""
     assert cfg.clip is not None and "clip" in params, "CLIP tower not built"
+    if attention_mask is None and clip_resize_hw is not None:
+        attention_mask, _ = clip_padding_masks(cfg, clip_resize_hw)
     hs = clip_vit.apply(params["clip"], cfg.clip, images_clip,
                         attention_mask=attention_mask)
     feats, _aux = clip_vit.select_features(hs, cfg.clip)
