@@ -263,8 +263,11 @@ def _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk):
     b, h, n, d = q.shape
     gh, gw = grid_hw
     assert n == gh * gw
-    # key tile = whole key-grid rows so the bias tile stays a broadcast-add
+    # key tile = whole key-grid rows so the bias tile stays a broadcast-add;
+    # never larger than the (row-padded) key count itself
     bk = (bk // gw) * gw if bk >= gw else gw
+    bk = min(bk, ((n + gw - 1) // gw) * gw)
+    bq = min(bq, ((n + 127) // 128) * 128)
     pn = _pad_len(n, bq)
     pm = _pad_len(n, bk)
     pad_rows = pm // gw if gw else 0
