@@ -270,3 +270,58 @@ def test_hybrid_dataset_mixture(tmp_path):
     # PAVE-only path is deterministic-length
     h2 = HybridDataset({"PAVE": Fake("p")})
     assert len(h2) == 10
+
+
+# ---------------------------------------------------------------------------
+# COCO-annotation part datasets (paco_lvis / pascal_part)
+# ---------------------------------------------------------------------------
+
+def _make_pascal_part_fixture(root):
+    import cv2
+    img_dir = os.path.join(root, "vlpart/pascal_part/VOCdevkit/VOC2010/JPEGImages")
+    os.makedirs(img_dir)
+    os.makedirs(os.path.join(root, "vlpart/pascal_part"), exist_ok=True)
+    cv2.imwrite(os.path.join(img_dir, "p.jpg"), np.zeros((30, 30, 3), np.uint8))
+    m = np.zeros((30, 30), np.uint8)
+    m[5:15, 5:15] = 1
+    ann = {"id": 1, "image_id": 1, "category_id": 2,
+           "segmentation": rle_mod.encode(m, compressed=False)}
+    d = {"images": [{"id": 1, "file_name": "p.jpg", "height": 30, "width": 30}],
+         "annotations": [ann],
+         "categories": [{"id": 2, "name": "aeroplane:wing"}]}
+    with open(os.path.join(root, "vlpart/pascal_part/train.json"), "w") as f:
+        json.dump(d, f)
+
+
+def test_pascal_part_dataset(tmp_path):
+    _make_pascal_part_fixture(str(tmp_path))
+    from walkgpt_tpu.data.seg_datasets import SemSegDataset
+    ds = SemSegDataset(str(tmp_path), sem_seg_data="pascal_part",
+                       image_size=32, clip_image_size=28, pad_size=32)
+    s = ds[0]
+    assert s.masks.shape[0] == 1
+    name = s.sampled_classes[0][0]
+    assert name in ("aeroplane wing", "the wing of the aeroplane")
+    assert "[SEG]" in s.conversations[0]
+
+
+def test_coco_api_ann_to_mask(tmp_path):
+    _make_pascal_part_fixture(str(tmp_path))
+    from walkgpt_tpu.data.coco import COCO
+    api = COCO(str(tmp_path / "vlpart/pascal_part/train.json"))
+    assert api.getImgIds() == [1]
+    ann = api.loadAnns(api.getAnnIds(imgIds=1))[0]
+    m = api.annToMask(ann)
+    assert m[10, 10] == 1 and m[0, 0] == 0
+
+
+def test_rotating_logger(tmp_path):
+    from walkgpt_tpu.utils.logging import setup_logging
+    lg = setup_logging(str(tmp_path))
+    lg.info("first run")
+    lg2 = setup_logging(str(tmp_path))
+    lg2.info("second run")
+    assert (tmp_path / "meta.log").exists()
+    assert (tmp_path / "meta_1.log").exists()
+    assert "first run" in (tmp_path / "meta_1.log").read_text()
+    assert setup_logging(str(tmp_path), rank=1) is None

@@ -137,11 +137,43 @@ def init_mapillary(base_dir):
     return np.array(classes), images, labels
 
 
+def init_paco_lvis(base_image_dir):
+    """paco class map: 'obj_(qual):part' -> (obj, part) tuples
+    (sem_seg_dataset.py:89-110)."""
+    from .coco import COCO
+    api = COCO(os.path.join(base_image_dir, "vlpart", "paco", "annotations",
+                            "paco_lvis_v1_train.json"))
+    class_map = {}
+    for cat in api.loadCats(api.getCatIds()):
+        parts = cat["name"].strip().split(":")
+        if len(parts) == 1:
+            class_map[cat["id"]] = parts[0].split("_(")[0]
+        else:
+            obj, part = parts
+            class_map[cat["id"]] = (obj.split("_(")[0], part.split("_(")[0])
+    return class_map, api.getImgIds(), api
+
+
+def init_pascal_part(base_image_dir):
+    from .coco import COCO
+    api = COCO(os.path.join(base_image_dir, "vlpart", "pascal_part",
+                            "train.json"))
+    class_map = {}
+    for cat in api.loadCats(api.getCatIds()):
+        obj, part = cat["name"].strip().split(":")
+        class_map[cat["id"]] = (obj, part)
+    return class_map, api.getImgIds(), api
+
+
 class SemSegDataset(BaseSegDataset):
-    """Label-map semantic segmentation -> multi-[SEG] QA conversations."""
+    """Semantic segmentation -> multi-[SEG] QA conversations. Label-map
+    datasets (ade20k/cocostuff/mapillary) and COCO-annotation part datasets
+    (paco_lvis/pascal_part, with the 'obj part' / 'the part of the obj'
+    name coin-flip, sem_seg_dataset.py:253-264)."""
 
     INITIALIZERS = {"ade20k": init_ade20k, "cocostuff": init_cocostuff,
                     "mapillary": init_mapillary}
+    COCO_STYLE = {"paco_lvis": init_paco_lvis, "pascal_part": init_pascal_part}
 
     def __init__(self, base_image_dir: str,
                  sem_seg_data: str = "ade20k||cocostuff||mapillary", **kw):
@@ -150,20 +182,81 @@ class SemSegDataset(BaseSegDataset):
         self.datasets = sem_seg_data.split("||")
         self.data = {}
         self.data2classes = {}
+        self.coco_data = {}
         for ds in self.datasets:
-            if ds not in self.INITIALIZERS:
+            if ds in self.INITIALIZERS:
+                classes, images, labels = self.INITIALIZERS[ds](base_image_dir)
+                self.data[ds] = (images, labels)
+                self.data2classes[ds] = np.asarray(classes)
+            elif ds in self.COCO_STYLE:
+                self.coco_data[ds] = self.COCO_STYLE[ds](base_image_dir)
+            else:
                 raise ValueError(f"unsupported sem_seg dataset {ds}")
-            classes, images, labels = self.INITIALIZERS[ds](base_image_dir)
-            self.data[ds] = (images, labels)
-            self.data2classes[ds] = np.asarray(classes)
 
     def __len__(self):
-        return self.samples_per_epoch or sum(
-            len(v[0]) for v in self.data.values())
+        return self.samples_per_epoch or (
+            sum(len(v[0]) for v in self.data.values())
+            + sum(len(v[1]) for v in self.coco_data.values()))
+
+    def _coco_item(self, ds: str) -> PAVESample:
+        class_map, img_ids, api = self.coco_data[ds]
+        info = api.loadImgs(img_ids[self.rng.randint(len(img_ids))])[0]
+        fname = info.get("file_name", "")
+        if ds == "pascal_part":
+            image_path = os.path.join(self.base_image_dir, "vlpart",
+                                      "pascal_part", "VOCdevkit", "VOC2010",
+                                      "JPEGImages", fname)
+        else:
+            image_path = os.path.join(self.base_image_dir, "coco", fname) \
+                if "/" in fname else os.path.join(self.base_image_dir, "coco",
+                                                  "train2017", fname)
+        image_rgb = self._read_image(image_path)
+        anns = api.loadAnns(api.getAnnIds(imgIds=info["id"]))
+        if not anns:
+            raise ValueError(f"no annotations for image {info['id']}")
+        max_total = self.num_classes_per_question * self.num_classes_per_sample
+        if len(anns) >= max_total:
+            anns = [anns[i] for i in self.rng.choice(len(anns), max_total,
+                                                     replace=False)]
+        names = []
+        for ann in anns:
+            cls = class_map[ann["category_id"]]
+            if isinstance(cls, tuple):
+                obj, part = cls
+                names.append(f"{obj} {part}" if self.rng.rand() < 0.5
+                             else f"the {part} of the {obj}")
+            else:
+                names.append(cls)
+        ann_groups, name_groups = allocate_class(
+            anns, names, max_question_num=self.num_classes_per_sample,
+            max_class_per_question=self.num_classes_per_question, rng=self.rng)
+
+        questions, answers, mask_list = [], [], []
+        image, image_clip, resize, clip_resize = self._prep_images(image_rgb)
+        for ag, ng in zip(ann_groups, name_groups):
+            target = join_names([n.lower() for n in ng])
+            tmpl = self.short_question_list[
+                self.rng.randint(len(self.short_question_list))]
+            questions.append(tmpl.format(class_name=target))
+            answers.append(compose_multiseg_answer(
+                ng, seg_token=self.seg_token, rng=self.rng))
+            for ann in ag:
+                m = api.annToMask(ann)
+                mask_list.append(T.resize_nearest(m.astype(np.int64), resize)
+                                 .astype(np.float32))
+        masks = np.stack(mask_list, 0)
+        label = np.full(resize, IGNORE_LABEL, np.int32)
+        return PAVESample(
+            image_path=image_path, image=image, image_clip=image_clip,
+            conversations=self._conversations(questions, answers),
+            masks=masks, label=label, resize=resize, clip_resize=clip_resize,
+            questions=questions, sampled_classes=name_groups)
 
     def __getitem__(self, idx: int) -> PAVESample:
         import cv2
         ds = self.datasets[self.rng.randint(len(self.datasets))]
+        if ds in self.coco_data:
+            return self._coco_item(ds)
         images, labels = self.data[ds]
         i = self.rng.randint(len(images))
         image_rgb = self._read_image(images[i])

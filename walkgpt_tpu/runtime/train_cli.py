@@ -69,6 +69,8 @@ def parse_args(argv):
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--max_steps", default=-1, type=int,
                    help="hard stop (smoke runs)")
+    p.add_argument("--profile_steps", default=0, type=int,
+                   help="trace steps [2, 2+N) with jax.profiler")
     return p.parse_args(argv)
 
 
@@ -107,6 +109,8 @@ def main(argv=None):
     log_dir = os.path.join(args.log_base_dir, args.exp_name)
     os.makedirs(log_dir, exist_ok=True)
     writer = ScalarLogger(log_dir)
+    from ..utils.logging import setup_logging
+    run_logger = setup_logging(log_dir)
 
     import jax
     import jax.numpy as jnp
@@ -208,8 +212,14 @@ def main(argv=None):
             t0 = time.time()
             batch = make_batch(rng.randint(0, len(dataset), args.batch_size))
             data_time.update(time.time() - t0)
+            if args.profile_steps and global_step == 2:
+                import jax as _jax
+                _jax.profiler.start_trace(os.path.join(log_dir, "profile"))
             state, metrics = step_fn(state, batch)
             loss = float(metrics["loss"])
+            if args.profile_steps and global_step == 2 + args.profile_steps:
+                import jax as _jax
+                _jax.profiler.stop_trace()
             batch_time.update(time.time() - t0)
             global_step += 1
             writer.add_scalar("train/loss", loss, global_step)
