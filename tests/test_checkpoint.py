@@ -173,3 +173,23 @@ def test_sam_conversion_roundtrip():
                                 params, conv2)
     got2 = sam_encoder.apply(p3, cfg, x)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=1e-6)
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    """Serialized mask-decoder graph (the ONNX-wrapper counterpart) reproduces
+    the live decode exactly after deserialization."""
+    import jax.numpy as jnp
+    from walkgpt_tpu.core.config import SAM_VIT_TINY
+    from walkgpt_tpu.models import sam
+    from walkgpt_tpu.runtime.export import export_mask_decoder, load_exported
+    cfg = sam.SamConfig.for_encoder(SAM_VIT_TINY)
+    params = sam.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "decoder.stablehlo")
+    export_mask_decoder(params, cfg, path, max_prompts=4)
+    fn = load_exported(path)
+    feats = jnp.zeros((1, 4, 4, 32))
+    te = jnp.ones((4, 1, 32))
+    low, iou = fn(feats, te)
+    ref_low, ref_iou = sam.decode_masks(params, cfg, feats, text_embeds=te)
+    np.testing.assert_allclose(np.asarray(low), np.asarray(ref_low), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(iou), np.asarray(ref_iou), atol=1e-6)
