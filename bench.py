@@ -64,6 +64,10 @@ def main():
 
     dtype = jnp.bfloat16
     params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    quant = os.environ.get("BENCH_QUANT", "")
+    if quant == "int8":
+        from walkgpt_tpu.ops.quant import quantize_llm
+        params = dict(params, llm=quantize_llm(params["llm"]))
     n_params = nn.count_params(params)
 
     # realistic llava_v1 PAVE prompt
@@ -112,7 +116,8 @@ def main():
     result = {
         "metric": (f"PAVE e2e images/sec/chip (WalkGPT-{model_kind}: SAM-ViT-H "
                    f"encode + MSQP + prefill {ids.shape[1]}+255 tok + greedy "
-                   f"{MAX_NEW_TOKENS} tok + {MAX_SEGS}-SEG mask decode, bf16, "
+                   f"{MAX_NEW_TOKENS} tok + {MAX_SEGS}-SEG mask decode, "
+                   f"{'int8-weight LLM, ' if quant == 'int8' else ''}bf16, "
                    f"batch {batch})"),
         "value": round(value, 4),
         "unit": "images/sec",

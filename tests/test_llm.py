@@ -158,3 +158,26 @@ def test_lora_projection_path():
     p2["layers"][0] = dict(p2["layers"][0], attn=q)
     out, _ = llm.forward(p2, cfg, llm.embed(p2, ids))
     assert float(jnp.abs(out - base).max()) > 1e-6
+
+
+def test_int8_weight_only_quantization():
+    """Quantized decode stays close to bf16 and produces identical greedy
+    tokens for a confident random model at small scale."""
+    from walkgpt_tpu.ops.quant import quantize_llm, quantize_weight, \
+        quantized_linear
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(8), cfg)
+    qparams = quantize_llm(params)
+    assert "w_q" in qparams["layers"][0]["attn"]["q"]
+    assert qparams["layers"][0]["attn"]["q"]["w_q"].dtype == jnp.int8
+    ids = jnp.array(np.random.RandomState(8).randint(3, cfg.vocab_size, (1, 8)))
+    h, _ = llm.forward(params, cfg, llm.embed(params, ids))
+    hq, _ = llm.forward(qparams, cfg, llm.embed(qparams, ids))
+    rel = float(jnp.linalg.norm(h - hq) / jnp.linalg.norm(h))
+    assert rel < 0.05, rel
+    # single-weight numerics
+    w = jnp.array(np.random.RandomState(9).randn(16, 8), jnp.float32)
+    q = quantize_weight(w)
+    x = jnp.array(np.random.RandomState(10).randn(2, 16), jnp.float32)
+    err = float(jnp.abs(quantized_linear(q, x) - x @ w).max())
+    assert err < 0.2

@@ -93,6 +93,11 @@ def linear_init(key, d_in: int, d_out: int, *, bias: bool = True,
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q" in p:   # weight-only int8 (ops/quant.py)
+        y = (x @ p["w_q"].astype(x.dtype)) * p["w_scale"].astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
     y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]

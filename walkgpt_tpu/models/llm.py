@@ -162,7 +162,7 @@ def _norm(p, x, cfg: LLMConfig):
 
 
 def _proj(p, x):
-    y = nn.linear(p, x)
+    y = nn.linear(p, x)          # handles dense and int8-quantized weights
     if "lora_a" in p:
         scale = p.get("lora_scale", 1.0)
         y = y + (x @ p["lora_a"]) @ p["lora_b"] * scale
@@ -234,7 +234,7 @@ def _block(p, cfg: LLMConfig, x, **attn_kw):
 def lm_logits(params: Params, cfg: LLMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     if cfg.tie_embeddings:
         return hidden @ params["embed_tokens"]["w"].T
-    return nn.linear(params["lm_head"], hidden)
+    return nn.linear(params["lm_head"], hidden)   # dense or int8
 
 
 def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,65 @@
+"""Weight-only int8 quantization for bandwidth-bound decode.
+
+Greedy decode reads every LLM weight once per token, so on v5e the decode
+floor is (bytes of weights)/(HBM bandwidth). Symmetric per-output-channel
+int8 halves those bytes vs bf16 at negligible quality cost (weight-only;
+activations and accumulation stay bf16/fp32). This replaces the reference's
+optional bitsandbytes 4/8-bit paths (SURVEY §2.6) with a TPU-native scheme.
+
+A quantized projection is stored as {"w_q": int8 (in, out), "w_scale": f32
+(out,)} (+ optional bias); core.nn.linear and the LLM _proj dispatch on the
+presence of "w_q".
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(in, out) float -> symmetric per-out-channel int8 + f32 scale."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0)               # per out channel
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"w_q": q, "w_scale": scale.astype(jnp.float32)}
+
+
+def quantized_linear(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ dequant(w_q); int8 weights are read from HBM, upcast in VMEM."""
+    w = p["w_q"].astype(x.dtype)
+    y = (x @ w) * p["w_scale"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def _is_proj(d: Any) -> bool:
+    return isinstance(d, dict) and "w" in d and getattr(d["w"], "ndim", 0) == 2
+
+
+def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False) -> Dict:
+    """int8-quantize all 2-D projection weights of an LLM param tree
+    (attention q/k/v/o, MLP, lm_head; embeddings optional — the embedding
+    gather reads one row per token, so quantizing it saves little)."""
+    def convert(d: Dict) -> Dict:
+        out = {k: v for k, v in d.items() if k != "w"}
+        out.update(quantize_weight(d["w"]))
+        return out
+
+    p = {k: v for k, v in llm_params.items()}
+    p["layers"] = []
+    for layer in llm_params["layers"]:
+        new_layer = dict(layer)
+        new_layer["attn"] = {k: (convert(v) if _is_proj(v) else v)
+                             for k, v in layer["attn"].items()}
+        new_layer["mlp"] = {k: (convert(v) if _is_proj(v) else v)
+                            for k, v in layer["mlp"].items()}
+        p["layers"].append(new_layer)
+    if "lm_head" in p and _is_proj(p["lm_head"]):
+        p["lm_head"] = convert(p["lm_head"])
+    if quantize_embeddings and _is_proj(p.get("embed_tokens", {})):
+        p["embed_tokens"] = convert(p["embed_tokens"])
+    return p
