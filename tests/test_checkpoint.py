@@ -193,3 +193,13 @@ def test_stablehlo_export_roundtrip(tmp_path):
     ref_low, ref_iou = sam.decode_masks(params, cfg, feats, text_embeds=te)
     np.testing.assert_allclose(np.asarray(low), np.asarray(ref_low), atol=1e-6)
     np.testing.assert_allclose(np.asarray(iou), np.asarray(ref_iou), atol=1e-6)
+
+
+def test_vicuna_delta_roundtrip():
+    base = llm.init(jax.random.PRNGKey(10), LLAMA_TINY)
+    target = llm.init(jax.random.PRNGKey(11), LLAMA_TINY)
+    delta = ck.make_delta(base, target)
+    back = ck.apply_delta(base, delta)
+    for a, b in zip(jax.tree_util.tree_leaves(target),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

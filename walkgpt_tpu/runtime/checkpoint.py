@@ -517,6 +517,31 @@ def convert_walkgpt_state(sd: Dict[str, np.ndarray], cfg, *,
     return out
 
 
+def apply_delta(base: Dict, delta: Dict) -> Dict:
+    """Vicuna-style delta application: target = base + delta, leaf-wise, with
+    the embedding-row mismatch rule (delta may carry extra vocab rows — the
+    reference's apply_delta pads the base; model/apply_delta.py behavior)."""
+    def add(b, d):
+        if b.shape == d.shape:
+            return b + d
+        # vocab-extended embedding/lm_head: pad base with zeros to delta rows
+        assert b.ndim == d.ndim == 2 and d.shape[0] >= b.shape[0] \
+            and b.shape[1] == d.shape[1], (b.shape, d.shape)
+        pad = jnp.zeros((d.shape[0] - b.shape[0], b.shape[1]), b.dtype)
+        return jnp.concatenate([b, pad], axis=0) + d
+    return jax.tree_util.tree_map(add, base, delta)
+
+
+def make_delta(base: Dict, target: Dict) -> Dict:
+    """Inverse of apply_delta (model/make_delta.py behavior)."""
+    def sub(b, t):
+        if b.shape == t.shape:
+            return t - b
+        pad = jnp.zeros((t.shape[0] - b.shape[0], b.shape[1]), b.dtype)
+        return t - jnp.concatenate([b, pad], axis=0)
+    return jax.tree_util.tree_map(sub, base, target)
+
+
 def load_into(params: Dict, converted: Dict) -> Dict:
     """Overlay converted sub-trees onto an initialized param tree (lenient:
     sub-trees absent from the checkpoint keep their initialization, like the
