@@ -50,7 +50,14 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
 
-    tok = ByteTokenizer(model_max_length=4096)
+    tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
+    if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
+        from walkgpt_tpu.data.bpe_tokenizer import build_pave_bpe
+        tok = build_pave_bpe("/root/reference/datasets",
+                             cache_path="/tmp/pave_bpe/tokenizer.json",
+                             model_max_length=4096)
+    else:
+        tok = ByteTokenizer(model_max_length=4096)
     st = setup_walkgpt_tokens(tok)
     if model_kind == "demo":
         cfg = demo_config(seg_token_id=st.seg_token_idx)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from walkgpt_tpu.data.tokenizer import (ByteTokenizer, setup_walkgpt_tokens,
                                         tokenizer_image_token)
@@ -72,3 +73,20 @@ def test_image_token_splice_np():
     tok, _ = make_tok()
     arr = tokenizer_image_token("a<image>b", tok, return_np=True)
     assert isinstance(arr, np.ndarray) and arr.dtype == np.int64
+
+
+def test_bpe_tokenizer_protocol(tmp_path):
+    """Self-trained BPE serves the same protocol as the byte tokenizer."""
+    pytest.importorskip("tokenizers")
+    from walkgpt_tpu.data.bpe_tokenizer import BPETokenizer, train_bpe
+    corpus = ["the sidewalk is clear", "stairs ahead", "curb on the left",
+              "USER: ASSISTANT:"] * 50
+    tok = BPETokenizer(train_bpe(corpus, vocab_size=500))
+    st = setup_walkgpt_tokens(tok)
+    assert tok.convert_tokens_to_ids("[SEG]") == st.seg_token_idx
+    ids = tok.encode("the sidewalk [SEG]")
+    assert ids[0] == tok.bos_token_id
+    assert st.seg_token_idx in ids
+    assert tok.decode(ids[1:]) == "the sidewalk [SEG]"
+    spliced = tokenizer_image_token("<im_start><image><im_end>\nhi", tok)
+    assert IMAGE_TOKEN_INDEX in spliced

@@ -36,6 +36,9 @@ import numpy as np
 def parse_args(argv):
     p = argparse.ArgumentParser(description="WalkGPT-TPU evaluation")
     p.add_argument("--version", default="", help="tokenizer/LLM path or name")
+    p.add_argument("--tokenizer", default="byte", choices=["byte", "bpe", "hf"],
+                   help="byte fallback, self-trained PAVE BPE, or HF files "
+                   "via --version")
     p.add_argument("--model_size", default="tiny",
                    choices=["tiny", "demo", "1b", "7b", "13b"])
     p.add_argument("--vision_pretrained", default="", help="SAM .pth path")
@@ -293,8 +296,13 @@ def main(argv=None):
     from ..data.tokenizer import build_tokenizer, setup_walkgpt_tokens
 
     conv_lib.set_default_conversation(args.conv_type)
-    tokenizer = build_tokenizer(args.version or None,
-                                model_max_length=args.model_max_length)
+    if args.tokenizer == "bpe":
+        from ..data.bpe_tokenizer import build_pave_bpe
+        tokenizer = build_pave_bpe(args.dataset_dir,
+                                   model_max_length=args.model_max_length)
+    else:
+        tokenizer = build_tokenizer(args.version or None,
+                                    model_max_length=args.model_max_length)
     st = setup_walkgpt_tokens(tokenizer, seg_token_num=args.seg_token_num,
                               image_feature_scale_num=args.image_feature_scale_num,
                               use_mm_start_end=args.use_mm_start_end)
