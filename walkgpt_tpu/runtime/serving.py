@@ -14,8 +14,15 @@ XLA-compatible design (everything static-shape):
   * one jitted K-step decode segment advances all slots together;
   * the host loop harvests finished rows between segments and admits new work.
 
-All compiled functions are reused across the whole stream — six XLA programs
-total, regardless of dataset size.
+All compiled functions are reused across the whole stream — two XLA programs
+(admit, segment), regardless of dataset size. One packed array is read back
+per segment.
+
+NOTE: on a tunneled/remote TPU (this dev environment) per-dispatch latency is
+~0.5-1 s, which makes any host-in-the-loop engine slower than the one-program
+wave decode; on a directly attached chip (microsecond dispatch) slot refill
+wins whenever answer lengths vary. Both modes ship; bench.py uses the fused
+wave pipeline.
 """
 from __future__ import annotations
 
@@ -65,9 +72,11 @@ class ContinuousBatcher:
         cfg, P, B, K = self.cfg, self.P, self.B, self.K
         max_len = self.max_len
 
-        def prefill_row(params, embeds, mask):
-            """embeds [1, P, H] -> (row kv [L, H, P, D] pair, next token, hidden)."""
-            cache = llm.init_kv_cache(cfg, 1, P, dtype=embeds.dtype)
+        def admit_row(params, pool_k, pool_v, cur_tok, cache_len, done,
+                      ids, mask, slot):
+            """Prefill one prompt and install it into `slot` — one dispatch."""
+            embeds = llm.embed(params, ids).astype(pool_k.dtype)
+            cache = llm.init_kv_cache(cfg, 1, P, dtype=pool_k.dtype)
             hidden, cache = llm.forward(params, cfg, embeds,
                                         attention_mask=mask, kv_cache=cache,
                                         flash_fn=self._flash_fn)
@@ -75,22 +84,20 @@ class ContinuousBatcher:
             last = hidden[0, jnp.maximum(length - 1, 0)]
             logits = llm.lm_logits(params, cfg, last).astype(jnp.float32)
             tok = jnp.argmax(logits, -1).astype(jnp.int32)
-            return cache["k"][:, 0], cache["v"][:, 0], tok, last, length
 
-        self._prefill_row = jax.jit(prefill_row)
-
-        def insert_row(pool_k, pool_v, row_k, row_v, slot):
-            """Scatter a prefilled row into slot; zero its decode region."""
             zeros_k = jnp.zeros((pool_k.shape[0], pool_k.shape[2],
                                  max_len - P, pool_k.shape[4]), pool_k.dtype)
-            full_k = jnp.concatenate([row_k, zeros_k], axis=2)
-            zeros_v = jnp.zeros_like(zeros_k)
-            full_v = jnp.concatenate([row_v, zeros_v], axis=2)
+            full_k = jnp.concatenate([cache["k"][:, 0], zeros_k], axis=2)
+            full_v = jnp.concatenate([cache["v"][:, 0],
+                                      jnp.zeros_like(zeros_k)], axis=2)
             pool_k = pool_k.at[:, slot].set(full_k)
             pool_v = pool_v.at[:, slot].set(full_v)
-            return pool_k, pool_v
+            cur_tok = cur_tok.at[slot].set(tok)
+            cache_len = cache_len.at[slot].set(length)
+            done = done.at[slot].set(False)
+            return pool_k, pool_v, cur_tok, cache_len, done
 
-        self._insert_row = jax.jit(insert_row)
+        self._admit_row = jax.jit(admit_row)
 
         def decode_segment(params, pool_k, pool_v, cur_tok, cache_len, done):
             key_pos = jnp.arange(max_len, dtype=jnp.int32)[None]
@@ -114,7 +121,11 @@ class ContinuousBatcher:
 
             carry = (pool_k, pool_v, cur_tok, cache_len, done)
             carry, (toks, valid) = jax.lax.scan(step, carry, None, length=K)
-            return carry, toks.T, valid.T        # [B, K]
+            # one packed host readback: [B, K] tokens, [B, K] valid, [B] done
+            packed = jnp.concatenate(
+                [toks.T, valid.T.astype(jnp.int32),
+                 carry[4].astype(jnp.int32)[:, None]], axis=1)
+            return carry, packed
 
         self._decode_segment = jax.jit(decode_segment)
 
@@ -150,16 +161,10 @@ class ContinuousBatcher:
 
         def admit(slot, pool_k, pool_v, cur_tok, cache_len, done):
             nonlocal next_req
-            ids = prompts[next_req]
-            ids_a, mask = self._bucket(ids)
-            embeds = llm.embed(self.params, ids_a).astype(self.dtype)
-            row_k, row_v, tok, _last, length = self._prefill_row(
-                self.params, embeds, mask)
-            pool_k, pool_v = self._insert_row(pool_k, pool_v, row_k, row_v,
-                                              slot)
-            cur_tok = cur_tok.at[slot].set(tok)
-            cache_len = cache_len.at[slot].set(length)
-            done = done.at[slot].set(False)
+            ids_a, mask = self._bucket(prompts[next_req])
+            pool_k, pool_v, cur_tok, cache_len, done = self._admit_row(
+                self.params, pool_k, pool_v, cur_tok, cache_len, done,
+                ids_a, mask, slot)
             slot_req[slot] = next_req
             slot_tokens[slot] = []
             next_req += 1
@@ -171,12 +176,13 @@ class ContinuousBatcher:
                 b, pool_k, pool_v, cur_tok, cache_len, done)
 
         while True:
-            (pool_k, pool_v, cur_tok, cache_len, done), toks, valid = \
+            (pool_k, pool_v, cur_tok, cache_len, done), packed = \
                 self._decode_segment(self.params, pool_k, pool_v, cur_tok,
                                      cache_len, done)
-            toks_h = np.asarray(toks)
-            valid_h = np.asarray(valid)
-            done_h = np.asarray(done)
+            packed_h = np.asarray(packed)      # single host readback
+            toks_h = packed_h[:, : self.K]
+            valid_h = packed_h[:, self.K: 2 * self.K].astype(bool)
+            done_h = packed_h[:, -1].astype(bool)
             for b in range(self.B):
                 if slot_req[b] < 0:
                     continue
