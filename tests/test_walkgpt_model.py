@@ -76,10 +76,16 @@ def test_splice_no_image_row(setup):
     vis = jnp.zeros((1, cfg.visual_tokens, 64))
     sp = walkgpt.splice_visual(params, cfg, jnp.array(ids), vis,
                                attention_mask=jnp.array(attn))
-    # visual block masked off
+    # visual block masked off, anchored at the first pad slot so no real
+    # token is displaced
     p = int(sp.image_pos[0])
-    assert p == 2
+    assert p == 3
     assert not bool(sp.attention_mask[0, p:p + cfg.visual_tokens].any())
+    from walkgpt_tpu.models import llm
+    emb = llm.embed(params["llm"], jnp.array([[1, 50, 60]]))
+    np.testing.assert_allclose(np.asarray(sp.embeds[0, :3]),
+                               np.asarray(emb[0]), atol=1e-6)
+    assert int(sp.attention_mask[0].sum()) == 3
 
 
 def test_seg_timeline_mask(setup):
@@ -181,3 +187,33 @@ def test_encode_clip_tokens(setup):
     toks = walkgpt.encode_clip_tokens(params, cfg, imgs)
     assert toks.shape == (2, 4, cfg.llm.hidden_size)  # 28/14=2 -> 4 patches
     assert jnp.isfinite(toks).all()
+
+
+def test_splice_visual_multi(setup):
+    tok, st, cfg, params = setup
+    import numpy as np
+    v = cfg.visual_tokens
+    # row 0: two images; row 1: one image (second block masked off)
+    ids = np.array([[1, 10, -200, 11, -200, 12],
+                    [1, 20, -200, 21, 22, 0]])
+    attn = np.array([[True] * 6, [True] * 5 + [False]])
+    rng = np.random.RandomState(0)
+    vis = jnp.array(rng.randn(2, 2, v, 64), jnp.float32)
+    sp = walkgpt.splice_visual_multi(params, cfg, jnp.array(ids), vis,
+                                     attention_mask=jnp.array(attn))
+    out_len = 6 - 1 + v - 1 + v
+    assert sp.embeds.shape == (2, out_len, 64)
+    from walkgpt_tpu.models import llm as llm_mod
+    # row 0: [1,10] [vis0] [11] [vis1] [12]
+    np.testing.assert_allclose(np.asarray(sp.embeds[0, 2:2 + v]),
+                               np.asarray(vis[0, 0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sp.embeds[0, 3 + v:3 + 2 * v]),
+                               np.asarray(vis[0, 1]), atol=1e-6)
+    tok11 = llm_mod.embed(params["llm"], jnp.array([[11]]))[0, 0]
+    np.testing.assert_allclose(np.asarray(sp.embeds[0, 2 + v]),
+                               np.asarray(tok11), atol=1e-6)
+    assert bool(sp.attention_mask[0].all())
+    # row 1: first block real, second appended masked-off
+    assert bool(sp.attention_mask[1, 2:2 + v].all())
+    n_attended = int(sp.attention_mask[1].sum())
+    assert n_attended == 5 - 1 + v   # 5 real tokens -1 sentinel + v visual

@@ -268,6 +268,12 @@ class SemSegDataset(BaseSegDataset):
             label[label == 0] = 255
             label -= 1
             label[label == 254] = 255
+        elif ds == "cocostuff":
+            # hyphenated stuff-merged classes are ignored (reference
+            # sem_seg_dataset.py:281-284)
+            for i, name in enumerate(self.data2classes[ds]):
+                if "-" in str(name):
+                    label[label == i] = 255
 
         unique = [u for u in np.unique(label).tolist() if u != 255
                   and u < len(self.data2classes[ds])]

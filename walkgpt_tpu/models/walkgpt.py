@@ -122,9 +122,12 @@ def splice_visual(params, cfg: WalkGPTConfig, input_ids: jnp.ndarray,
         attention_mask = jnp.ones((r, t), bool)
 
     has_img = (input_ids == IMAGE_TOKEN_INDEX).any(axis=1)
+    # rows without a sentinel anchor the (masked-off) block at their first pad
+    # slot so no real token is displaced out of the timeline
     pos = jnp.where(has_img,
                     jnp.argmax(input_ids == IMAGE_TOKEN_INDEX, axis=1),
-                    attention_mask.astype(jnp.int32).sum(-1) - 1)   # [R]
+                    jnp.minimum(attention_mask.astype(jnp.int32).sum(-1),
+                                t - 1))                              # [R]
 
     safe_ids = jnp.where(input_ids < 0, 0, input_ids)
     tok_embeds = llm.embed(params["llm"], safe_ids)           # [R, T, H]
@@ -155,6 +158,69 @@ def splice_visual(params, cfg: WalkGPTConfig, input_ids: jnp.ndarray,
 
     return Spliced(embeds=embeds, attention_mask=attn, labels=labels_out,
                    image_pos=pos)
+
+
+def _splice_block(embeds: jnp.ndarray, sentinels: jnp.ndarray,
+                  attn: jnp.ndarray, labels: Optional[jnp.ndarray],
+                  vis: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                             jnp.ndarray, Optional[jnp.ndarray],
+                                             jnp.ndarray]:
+    """Expand the FIRST sentinel of each row of an embedding timeline with the
+    visual block `vis` [R, V, H]. `sentinels` is a bool [R, T] map; rows with
+    no sentinel get a masked block appended after their last real token.
+    Returns (embeds', sentinels', attn', labels', image_pos)."""
+    r, t, h = embeds.shape
+    v = vis.shape[1]
+    out_len = t - 1 + v
+    has_img = sentinels.any(axis=1)
+    pos = jnp.where(has_img, jnp.argmax(sentinels, axis=1),
+                    jnp.minimum(attn.astype(jnp.int32).sum(-1), t - 1))
+    j = jnp.arange(out_len)[None]
+    p = pos[:, None]
+    before = j < p
+    inside = (j >= p) & (j < p + v)
+    tok_idx = jnp.clip(jnp.where(before, j, j - (v - 1)), 0, t - 1)
+    vis_idx = jnp.clip(j - p, 0, v - 1)
+    g_tok = jnp.take_along_axis(embeds, tok_idx[..., None], axis=1)
+    g_vis = jnp.take_along_axis(vis.astype(g_tok.dtype), vis_idx[..., None],
+                                axis=1)
+    embeds2 = jnp.where(inside[..., None], g_vis, g_tok)
+    attn2 = jnp.where(inside, has_img[:, None],
+                      jnp.take_along_axis(attn, tok_idx, axis=1))
+    sent2 = jnp.where(inside, False,
+                      jnp.take_along_axis(sentinels, tok_idx, axis=1))
+    labels2 = None
+    if labels is not None:
+        labels2 = jnp.where(inside, IGNORE_INDEX,
+                            jnp.take_along_axis(labels, tok_idx, axis=1))
+    return embeds2, sent2, attn2, labels2, pos
+
+
+def splice_visual_multi(params, cfg: WalkGPTConfig, input_ids: jnp.ndarray,
+                        vis_tokens: jnp.ndarray,
+                        attention_mask: Optional[jnp.ndarray] = None,
+                        labels: Optional[jnp.ndarray] = None) -> Spliced:
+    """Multiple <image> sentinels per row (llava_arch.py's while-loop over
+    image_token_indices, :291-389): sentinel k is expanded with image k's
+    visual block, left to right. vis_tokens: [R, max_images, V, H]; rows with
+    fewer sentinels get masked-off blocks appended (uniform lengths)."""
+    r, t = input_ids.shape
+    max_images = vis_tokens.shape[1]
+    if attention_mask is None:
+        attention_mask = jnp.ones((r, t), bool)
+    safe_ids = jnp.where(input_ids < 0, 0, input_ids)
+    embeds = llm.embed(params["llm"], safe_ids)
+    sentinels = input_ids == IMAGE_TOKEN_INDEX
+    attn = attention_mask
+    lab = labels
+    first_pos = None
+    for k in range(max_images):
+        embeds, sentinels, attn, lab, pos = _splice_block(
+            embeds, sentinels, attn, lab, vis_tokens[:, k])
+        if first_pos is None:
+            first_pos = pos
+    return Spliced(embeds=embeds, attention_mask=attn, labels=lab,
+                   image_pos=first_pos)
 
 
 def seg_timeline_mask(input_ids: jnp.ndarray, seg_token_id, cfg: WalkGPTConfig
