@@ -125,3 +125,47 @@ def test_sharded_train_step_runs_on_mesh(setup):
                                            max_segs=max_segs)
     np.testing.assert_allclose(float(metrics["loss"]), float(ref_metrics["loss"]),
                                rtol=2e-4)
+
+
+def test_sharded_generation_token_identical(setup):
+    """tp-sharded generate_and_segment must produce the tokens of the
+    unsharded pipeline (BASELINE config 5: sharded towers, streaming eval)."""
+    tok, st, cfg, params = setup
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from walkgpt_tpu.data.tokenizer import tokenizer_image_token
+
+    mesh = shd.make_mesh(dp=1, tp=4)
+    p_specs = shd.param_pspecs(params, tp=4)
+    sharded_params = shd.shard_tree(params, mesh, p_specs)
+
+    conv = conv_lib.conv_templates["llava_v1"].copy()
+    conv.messages = []
+    conv.append_message(conv.roles[0], "<image>\nwhat is accessible?")
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt().replace("<image>",
+                                       "<im_start><image><im_end>")
+    ids = np.array([tokenizer_image_token(prompt, tok)])
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+    args = dict(input_ids=jnp.asarray(ids),
+                attention_mask=jnp.ones(ids.shape, bool),
+                row_image_idx=jnp.zeros((1,), jnp.int32),
+                pixel_hw=jnp.asarray([[48, 64]]),
+                max_new_tokens=6, max_segs=4, eos_id=tok.eos_token_id)
+
+    ref = walkgpt.generate_and_segment(params, cfg, images=images, **args)
+
+    def named(tree):
+        return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), tree,
+                                      is_leaf=lambda x: isinstance(x, P))
+
+    fn = jax.jit(lambda p, im: walkgpt.generate_and_segment(
+        p, cfg, images=im, **args),
+        in_shardings=(named(p_specs), NamedSharding(mesh, P())))
+    out = fn(sharded_params, images)
+    assert np.asarray(out.tokens).tolist() == np.asarray(ref.tokens).tolist()
+    np.testing.assert_allclose(np.asarray(out.pred_masks),
+                               np.asarray(ref.pred_masks), rtol=5e-3,
+                               atol=5e-4)
