@@ -169,3 +169,23 @@ def test_sharded_generation_token_identical(setup):
     np.testing.assert_allclose(np.asarray(out.pred_masks),
                                np.asarray(ref.pred_masks), rtol=5e-3,
                                atol=5e-4)
+
+
+def test_grad_accumulation(setup):
+    """MultiSteps: params move only every grad_accum micro-batches."""
+    tok, st, cfg, params = setup
+    tcfg = tr.TrainConfig(warmup_steps=0, total_steps=10, grad_accum=2, lr=1e-2)
+    state, opt = tr.init_state(params, tcfg)
+    batch, max_segs = device_batch(tok)
+    s1, _ = tr.train_step(state, batch, opt=opt, model_cfg=cfg,
+                          max_segs=max_segs)
+    # after 1 micro-batch: no update yet
+    d1 = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params["ctp"]),
+        jax.tree_util.tree_leaves(state.params["ctp"])))
+    assert d1 == 0.0
+    s2, _ = tr.train_step(s1, batch, opt=opt, model_cfg=cfg, max_segs=max_segs)
+    d2 = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(s2.params["ctp"]),
+        jax.tree_util.tree_leaves(state.params["ctp"])))
+    assert d2 > 0.0

@@ -142,6 +142,38 @@ def decode_answer(tokenizer, token_row: np.ndarray, length: int) -> str:
     return text.replace("\n", " ").replace("  ", " ").strip()
 
 
+def _jit_caches(cfg):
+    """Shape-bucketed jits for the eval loops: prepare_batch buckets sequence
+    lengths (x64) and seg counts (x8), so a handful of XLA programs serve the
+    whole dataset instead of eager per-op dispatch."""
+    import functools
+    import jax
+    from ..models import walkgpt
+
+    @functools.lru_cache(maxsize=16)
+    def fwd(max_segs):
+        def f(params, images, input_ids, labels, attention_mask,
+              row_image_idx, gt_masks, pixel_hw):
+            return walkgpt.model_forward(
+                params, cfg, images=images, input_ids=input_ids, labels=labels,
+                attention_mask=attention_mask, row_image_idx=row_image_idx,
+                gt_masks=gt_masks, pixel_hw=pixel_hw, max_segs=max_segs)
+        return jax.jit(f)
+
+    @functools.lru_cache(maxsize=16)
+    def gen(max_new_tokens, max_segs, eos_id):
+        def g(params, images, input_ids, attention_mask, row_image_idx,
+              pixel_hw):
+            return walkgpt.generate_and_segment(
+                params, cfg, images=images, input_ids=input_ids,
+                attention_mask=attention_mask, row_image_idx=row_image_idx,
+                pixel_hw=pixel_hw, max_new_tokens=max_new_tokens,
+                max_segs=max_segs, eos_id=eos_id)
+        return jax.jit(g)
+
+    return fwd, gen
+
+
 def validate(args, cfg, params, tokenizer, dataset, logger=print):
     import jax
     import jax.numpy as jnp
@@ -150,6 +182,8 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
     from ..models import walkgpt
     from ..runtime.batching import prepare_batch
     from ..eval.metrics import IoUAccumulator
+
+    fwd_cache, gen_cache = _jit_caches(cfg)
 
     acc = IoUAccumulator()
     text_log: List[dict] = []
@@ -164,15 +198,12 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
                               use_mm_start_end=args.use_mm_start_end)
         db = prepare_batch(batch, img_size=cfg.sam.img_size,
                            seg_token_id=sid)
-        # 1. teacher-forced mask metrics
-        out = walkgpt.model_forward(
-            params, cfg, images=jnp.asarray(db.images),
-            input_ids=jnp.asarray(db.input_ids),
-            labels=jnp.asarray(db.labels),
-            attention_mask=jnp.asarray(db.attention_mask),
-            row_image_idx=jnp.asarray(db.row_image_idx),
-            gt_masks=jnp.asarray(db.gt_masks),
-            pixel_hw=jnp.asarray(db.pixel_hw), max_segs=db.max_segs)
+        # 1. teacher-forced mask metrics (jitted per shape bucket)
+        out = fwd_cache(db.max_segs)(
+            params, jnp.asarray(db.images), jnp.asarray(db.input_ids),
+            jnp.asarray(db.labels), jnp.asarray(db.attention_mask),
+            jnp.asarray(db.row_image_idx), jnp.asarray(db.gt_masks),
+            jnp.asarray(db.pixel_hw))
         n_valid = int(out.seg_valid.sum())
         pred = np.asarray(out.pred_masks[:n_valid])
         gt = np.asarray(db.gt_masks[:n_valid])
@@ -190,14 +221,14 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
         ids = np.full((len(rows), t), tokenizer.pad_token_id, np.int64)
         for j, r in enumerate(rows):
             ids[j, :len(r)] = r
-        ev = walkgpt.generate_and_segment(
-            params, cfg, images=jnp.asarray(db.images),
-            input_ids=jnp.asarray(ids),
-            attention_mask=jnp.asarray(ids != tokenizer.pad_token_id),
-            row_image_idx=jnp.asarray(db.row_image_idx),
-            pixel_hw=jnp.asarray(db.pixel_hw),
-            max_new_tokens=args.max_new_tokens, max_segs=db.max_segs,
-            eos_id=tokenizer.eos_token_id)
+        t_pad = ((ids.shape[1] + 63) // 64) * 64
+        ids_p = np.full((ids.shape[0], t_pad), tokenizer.pad_token_id, np.int64)
+        ids_p[:, : ids.shape[1]] = ids
+        ev = gen_cache(args.max_new_tokens, db.max_segs,
+                       tokenizer.eos_token_id)(
+            params, jnp.asarray(db.images), jnp.asarray(ids_p),
+            jnp.asarray(ids_p != tokenizer.pad_token_id),
+            jnp.asarray(db.row_image_idx), jnp.asarray(db.pixel_hw))
         toks = np.asarray(ev.tokens)
         lens = np.asarray(ev.lengths)
         for j, q in enumerate(questions):

@@ -94,6 +94,10 @@ def make_optimizer(cfg: TrainConfig, params: Any):
         optax.masked(inner, mask),
         optax.masked(optax.set_to_zero(), inv_mask),
     )
+    if cfg.grad_accum > 1:
+        # DeepSpeed grad_accumulation_steps equivalent: updates apply every
+        # grad_accum micro-batches, averaged.
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum)
     return opt, mask
 
 
