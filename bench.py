@@ -67,7 +67,7 @@ def main():
     # SAM->MSQP tokens (evaluation_walkgpt.py:535-577), CLIP is a parity-only
     # alternate stream — no reason to hold its weights in HBM here.
     import dataclasses
-    cfg = dataclasses.replace(cfg, clip=None)
+    cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True)
 
     dtype = jnp.bfloat16
     params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)

@@ -216,6 +216,10 @@ class WalkGPTConfig:
     image_feature_scale_num: int = 1
     max_seq_len: int = 2048
     use_flash_attention: bool = True
+    # bf16 bias/logits traffic in SAM windowed attention (fp32 softmax stats
+    # only): ~13% faster SAM-H encode at small bf16 feature drift. Off for
+    # fidelity-exact runs; bench/serving enable it.
+    fast_windowed_attention: bool = False
 
     def replace(self, **kw) -> "WalkGPTConfig":
         return dataclasses.replace(self, **kw)

@@ -63,10 +63,11 @@ def init(key, cfg: SamConfig, dtype=jnp.float32):
 
 
 def encode_image(params, cfg: SamConfig, images: jnp.ndarray, *,
-                 use_flash: bool = False) -> jnp.ndarray:
+                 use_flash: bool = False,
+                 fast_windowed: bool = False) -> jnp.ndarray:
     """[B, S, S, 3] -> [B, grid, grid, 256] NHWC."""
     return sam_encoder.apply(params["image_encoder"], cfg.encoder, images,
-                             use_flash=use_flash)
+                             use_flash=use_flash, fast_windowed=fast_windowed)
 
 
 def decode_masks(params, cfg: SamConfig, image_embeddings: jnp.ndarray, *,
