@@ -114,3 +114,22 @@ def test_compose_on_reference_manifest_rows():
                      for p in body.split("; ")]
             assert dists == sorted(dists)
             assert len(dists) == len(mapped)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_VAL), reason="reference manifest absent")
+def test_mask_order_seg_matches_answer_order():
+    """mask_order='seg' reorders GT planes to the answer's [SEG] sequence
+    (accessible alphabetical, then non-accessible alphabetical)."""
+    from walkgpt_tpu.data.pave import PAVEDataset
+    ds = PAVEDataset(REF_VAL, REF_LABELMAP, image_size=64, pad_size=64,
+                     is_val=True, mask_order="seg")
+    s = ds[0]
+    lm = ds.labelmap
+    names = [lm.id_to_name[c[0]] for c in s.sampled_classes]
+    scores = [lm.accessibility_scores[n] for n in names]
+    # accessible block first, each block alphabetical
+    k = sum(1 for sc in scores if sc >= 0.5)
+    assert all(sc >= 0.5 for sc in scores[:k])
+    assert all(sc < 0.5 for sc in scores[k:])
+    assert names[:k] == sorted(names[:k])
+    assert names[k:] == sorted(names[k:])

@@ -198,6 +198,7 @@ class PAVEDataset:
         is_val: bool = False,
         seed: int = 0,
         pad_size: int = SAM_IMG_SIZE,
+        mask_order: str = "dataset",    # "dataset" (reference parity) | "seg"
     ):
         from . import transforms as T
         self.samples = read_jsonl(jsonl_path)
@@ -208,6 +209,7 @@ class PAVEDataset:
         self.samples_per_epoch = samples_per_epoch
         self.is_val = is_val
         self.pad_size = pad_size
+        self.mask_order = mask_order
         self._rng = np.random.RandomState(seed)
         self._T = T
         if seg_token_num == 1:
@@ -283,7 +285,24 @@ class PAVEDataset:
         label = self._load_label(ex, resize)
 
         depth = ex.get("depth", {}) or {}
+        # NOTE (reference quirk, kept for parity by default): GT mask planes
+        # are ordered by ascending class id (PAVE_dataset.py:299-307) while
+        # [SEG] tokens in the answer follow accessible-then-non-accessible
+        # alphabetical order (_compose_text) — the reference pairs them
+        # index-wise anyway (model/walkgpt.py:557-571). mask_order="seg"
+        # aligns GT planes with the answer's [SEG] order instead.
         sampled_ids = sorted(int(k) for k in depth.keys())
+        if self.mask_order == "seg":
+            names = {cid: self.labelmap.id_to_name.get(str(cid))
+                     for cid in sampled_ids}
+            scored = [(cid, n, self.labelmap.accessibility_scores.get(n))
+                      for cid, n in names.items() if n is not None]
+            acc = sorted({n for _, n, s in scored
+                          if s is not None and s >= self.accessible_threshold})
+            nonacc = sorted({n for _, n, s in scored
+                             if s is not None and s < self.accessible_threshold})
+            name_to_id = {n: cid for cid, n, s in scored}
+            sampled_ids = [name_to_id[n] for n in acc + nonacc]
         sampled_classes = [[str(cid)] for cid in sampled_ids]
         if sampled_ids and (label != IGNORE_LABEL).any():
             masks = np.stack([(label == cid).astype(np.float32) for cid in sampled_ids])

@@ -151,6 +151,9 @@ def flash_attention(q, k, v, causal: bool = False, bq: int = DEFAULT_BQ,
 def _flash_attention_impl(q, k, v, causal, bq, bk, key_valid):
     b, h, n, d = q.shape
     m = k.shape[2]
+    # the kernel's causal mask aligns timeline STARTS (q_offset=0) while the
+    # vjp's reference mask aligns ENDS; both agree only for self-attention
+    assert not causal or n == m, "causal flash requires N == M self-attention"
     pn, pm = _pad_len(n, bq), _pad_len(m, bk)
     if key_valid is None:
         key_valid = jnp.ones((b, m), bool)
