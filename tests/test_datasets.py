@@ -325,3 +325,35 @@ def test_rotating_logger(tmp_path):
     assert (tmp_path / "meta_1.log").exists()
     assert "first run" in (tmp_path / "meta_1.log").read_text()
     assert setup_logging(str(tmp_path), rank=1) is None
+
+
+def test_caption_pretrain_dataset_and_plain_collate(tmp_path):
+    import cv2
+    (tmp_path / "images").mkdir()
+    cv2.imwrite(str(tmp_path / "images/c.jpg"), np.zeros((24, 24, 3), np.uint8))
+    items = [{"image": "c.jpg", "conversations": [
+        {"from": "human", "value": "<image>"},
+        {"from": "gpt", "value": "a quiet street with a wide sidewalk"}]}]
+    with open(tmp_path / "blip_laion_cc_sbu_558k.json", "w") as f:
+        json.dump(items, f)
+    from walkgpt_tpu.data.seg_datasets import CaptionPretrainDataset
+    from walkgpt_tpu.data.collate import collate_batch
+    from walkgpt_tpu.data.tokenizer import ByteTokenizer, setup_walkgpt_tokens
+    ds = CaptionPretrainDataset(str(tmp_path), image_size=32,
+                                clip_image_size=28, pad_size=32)
+    s = ds[0]
+    assert s.conversations[0].startswith("<image>\n")
+    assert s.conversations[0].endswith("sidewalk\n")
+    tok = ByteTokenizer(2048)
+    setup_walkgpt_tokens(tok)
+    batch = collate_batch([s], tok, conv_type="plain")
+    ids, labels = batch["input_ids"][0], batch["labels"][0]
+    # image part masked, caption supervised
+    assert labels[0] == -100
+    sup = labels != -100
+    n_sup = int(sup.sum())
+    text = tok.decode([int(t) for t in ids[sup]])
+    assert "sidewalk" in text
+    # nothing before the caption is supervised
+    first_sup = int(np.argmax(sup))
+    assert (labels[:first_sup] == -100).all()

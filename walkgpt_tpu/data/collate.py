@@ -78,10 +78,25 @@ def collate_batch(
 
     targets = input_ids.copy()
     conv = conv_templates.get(conv_type, conv_templates["llava_v1"])
+
+    if conv_type in ("plain", "v0_plain"):
+        # LLaVA stage-1 preprocess_plain (train/train.py): supervision starts
+        # right after the image part; only the caption (+ trailing sep) is
+        # labeled.
+        for conversation, target in zip(conversations, targets):
+            img_part = conversation.split("\n", 1)[0]
+            n = len(tokenizer_image_token(img_part, tokenizer))
+            target[:n] = IGNORE_INDEX
+        targets[input_ids == pad_id] = IGNORE_INDEX
+        sep2 = None           # no round splitting for plain
+    else:
+        sep2 = conv.sep2 if conv.sep2 else "</s>"
+
     sep = conv.sep + conv.roles[1] + ": "
-    sep2 = conv.sep2 if conv.sep2 else "</s>"
 
     for row, (conversation, target) in enumerate(zip(conversations, targets)):
+        if sep2 is None:
+            break
         total_len = int((target != pad_id).sum())
         if sep2 not in conversation:
             break

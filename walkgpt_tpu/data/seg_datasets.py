@@ -716,3 +716,52 @@ class HybridDataset:
         k = self.rng.choice(len(self.datasets), p=self.sample_rate)
         ds = self.datasets[k]
         return ds[self.rng.randint(len(ds))]
+
+
+# ---------------------------------------------------------------------------
+# LLaVA stage-1 caption pretraining (preprocess_plain; train/train.py)
+# ---------------------------------------------------------------------------
+
+class CaptionPretrainDataset(BaseSegDataset):
+    """Image-caption pairs for mm-projector pretraining: conversation =
+    '<image>' + caption under the plain template; only the caption is
+    supervised (collate conv_type='plain'); empty masks. The TPU counterpart
+    of LazySupervisedDataset + preprocess_plain feeding tune_mm_mlp_adapter
+    (SURVEY §2.3 'LLaVA stage-1 trainer')."""
+
+    def __init__(self, base_image_dir: str,
+                 json_name: str = "blip_laion_cc_sbu_558k.json",
+                 image_subdir: str = "images", **kw):
+        super().__init__(**kw)
+        self.image_dir = os.path.join(base_image_dir, image_subdir)
+        with open(os.path.join(base_image_dir, json_name)) as f:
+            self.items = json.load(f)
+
+    def __len__(self):
+        return self.samples_per_epoch or len(self.items)
+
+    def __getitem__(self, idx: int) -> PAVESample:
+        item = self.items[self.rng.randint(len(self.items))
+                          if self.samples_per_epoch else idx]
+        image_path = os.path.join(self.image_dir, item["image"])
+        image_rgb = self._read_image(image_path)
+        image, image_clip, resize, clip_resize = self._prep_images(image_rgb)
+
+        caption = ""
+        for turn in item.get("conversations", []):
+            if turn.get("from") == "gpt":
+                caption = turn["value"]
+                break
+        from .conversation import conv_templates
+        conv = conv_templates["plain"].copy()
+        conv.sep2 = "\n"
+        conv.messages = []
+        conv.append_message("", DEFAULT_IMAGE_TOKEN)
+        conv.append_message("", caption)
+        masks = np.zeros((0, *resize), np.float32)
+        label = np.full(resize, IGNORE_LABEL, np.int32)
+        return PAVESample(
+            image_path=image_path, image=image, image_clip=image_clip,
+            conversations=[conv.get_prompt()], masks=masks, label=label,
+            resize=resize, clip_resize=clip_resize, questions=[caption],
+            sampled_classes=[])
