@@ -48,7 +48,7 @@ def main():
 
     model_kind = os.environ.get("BENCH_MODEL", "1b")
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
 
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
     if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
