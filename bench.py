@@ -47,7 +47,7 @@ def main():
     from walkgpt_tpu.models import walkgpt
 
     model_kind = os.environ.get("BENCH_MODEL", "1b")
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
     batch = int(os.environ.get("BENCH_BATCH", "16"))
 
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")

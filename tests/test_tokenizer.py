@@ -90,3 +90,32 @@ def test_bpe_tokenizer_protocol(tmp_path):
     assert tok.decode(ids[1:]) == "the sidewalk [SEG]"
     spliced = tokenizer_image_token("<im_start><image><im_end>\nhi", tok)
     assert IMAGE_TOKEN_INDEX in spliced
+
+
+def test_hf_adapter_via_local_tokenizer_json(tmp_path):
+    """build_tokenizer loads a local tokenizer.json through transformers and
+    the adapter serves the full special-token protocol."""
+    pytest.importorskip("transformers")
+    pytest.importorskip("tokenizers")
+    import json
+    from walkgpt_tpu.data.bpe_tokenizer import train_bpe
+    train_bpe(["sidewalk curb stairs"] * 30, vocab_size=400,
+              save_path=str(tmp_path / "tokenizer.json"))
+    json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+               "bos_token": "<s>", "eos_token": "</s>", "unk_token": "<unk>",
+               "model_max_length": 512},
+              open(tmp_path / "tokenizer_config.json", "w"))
+    from walkgpt_tpu.data.tokenizer import (HFTokenizerAdapter, build_tokenizer)
+    tok = build_tokenizer(str(tmp_path), model_max_length=512)
+    assert isinstance(tok, HFTokenizerAdapter)
+    st = setup_walkgpt_tokens(tok)
+    ids = tok.encode("curb [SEG]")
+    assert st.seg_token_idx in ids
+    assert "[SEG]" in tok.decode(ids)
+
+
+def test_build_tokenizer_fallback():
+    from walkgpt_tpu.data.tokenizer import ByteTokenizer, build_tokenizer
+    tok = build_tokenizer("/nonexistent/path", model_max_length=128)
+    assert isinstance(tok, ByteTokenizer)
+    assert tok.model_max_length == 128
