@@ -11,6 +11,7 @@ runtime/checkpoint converters, and assert the JAX forwards match to fp32
 tolerance. This is the VERDICT round-1 "Next #2" harness: it fails if any
 converter or forward drifts from the code we claim byte-compatibility with.
 """
+import importlib.machinery
 import sys
 import types
 
@@ -46,6 +47,8 @@ def _stub_torchvision():
             continue
         mod = types.ModuleType(name)
         mod.__path__ = []
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        mod.__version__ = "0.0.0"
         for a, v in attrs.items():
             setattr(mod, a, v)
         sys.modules[name] = mod
@@ -289,6 +292,112 @@ def test_infonce_parity(ref, tiny_pair, top_k, exclude):
         jnp.asarray(pred), jnp.asarray(sam_tokens), jnp.asarray(row_ids),
         params, top_k=top_k, exclude_same_row=exclude))
     assert abs(got - want) < 2e-5, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# LLaVA splice + label-smoothed CE chain vs the reference's own
+# LlavaLlamaForCausalLM (llava_arch.py prepare_inputs_labels_for_multimodal +
+# llava_llama.py:111-125). Note the reference's full model_forward mask path
+# is NOT runnable as committed (WART-1: LLM-space 6x6 maps cannot broadcast
+# against [B,256,64,64] dense prompts inside MaskDecoder.predict_masks,
+# mask_decoder.py:137-138) — the CE/splice chain below plus the module-level
+# tests above cover every component that actually executes.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_llava():
+    _stub_torchvision()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    transformers = pytest.importorskip("transformers")
+    # installed transformers is newer than the reference's 4.31 pin; patch the
+    # two incompatibilities its import path trips over
+    from transformers.models.auto import configuration_auto
+    orig = configuration_auto.AutoConfig.register
+
+    def register(model_type, config, exist_ok=False):
+        return orig(model_type, config, exist_ok=True)
+
+    configuration_auto.AutoConfig.register = staticmethod(register)
+    import transformers.models.bloom.modeling_bloom as bloom
+    import transformers.models.opt.modeling_opt as opt
+    for mod in (bloom, opt):
+        for sym in ("_expand_mask", "_make_causal_mask"):
+            if not hasattr(mod, sym):
+                setattr(mod, sym, lambda *a, **k: None)
+    try:
+        from model.llava_walkgpt.model.language_model.llava_llama import (
+            LlavaConfig, LlavaLlamaForCausalLM)
+    finally:
+        configuration_auto.AutoConfig.register = orig
+    return LlavaConfig, LlavaLlamaForCausalLM
+
+
+def test_llava_splice_ce_parity(ref_llava):
+    """Tokens-passthrough mode (encode_images case 2, llava_arch.py:141-154):
+    [R,36,H] visual tokens -> bilinear 16x16=256 -> spliced at the -200
+    sentinel -> LLaMA -> label-smoothed CE. Logits and loss must match our
+    visual-grid resize + splice_visual + llm.forward + CE chain."""
+    from walkgpt_tpu.core.config import (CLIPVisionConfig, LLMConfig,
+                                         WalkGPTConfig)
+    from walkgpt_tpu.models import llm, walkgpt
+    from walkgpt_tpu.ops.losses import cross_entropy_with_smoothing
+    from walkgpt_tpu.ops.resize import bilinear_resize
+
+    LlavaConfig, LlavaLlamaForCausalLM = ref_llava
+    hf_cfg = LlavaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=512, rms_norm_eps=1e-6,
+        attn_implementation="eager")
+    hf_cfg.separate_mm_projector = False        # read unconditionally
+    torch.manual_seed(0)
+    tm = LlavaLlamaForCausalLM(hf_cfg).eval()
+    # non-None tower gates the splice path; never called for 3-D token input
+    tm.model.vision_tower = object()
+
+    rng = np.random.RandomState(21)
+    r, t = 2, 9
+    ids = rng.randint(3, 128, (r, t))
+    ids[0, 1] = -200
+    ids[1, 3] = -200
+    labels = ids.copy()
+    labels[:, :4] = -100
+    labels[ids == -200] = -100
+    attn = np.ones((r, t), np.int64)
+    vis36 = rng.randn(r, 36, 64).astype(np.float32)
+
+    with torch.no_grad():
+        out = tm(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(attn),
+                 labels=torch.from_numpy(labels),
+                 images=torch.from_numpy(vis36))
+    want_logits = out.logits.float().numpy()
+    want_loss = float(out.loss)
+
+    cfg = WalkGPTConfig(
+        llm=LLMConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=4,
+                      max_position_embeddings=512),
+        clip=None, use_flash_attention=False)
+    params = {"llm": ck.convert_llama(_sd(tm), num_layers=2)}
+
+    grid = jnp.asarray(vis36).reshape(r, 6, 6, 64)
+    vis256 = bilinear_resize(grid, (16, 16)).reshape(r, 256, 64)
+    sp = walkgpt.splice_visual(params, cfg, jnp.asarray(ids), vis256,
+                               attention_mask=jnp.asarray(attn, bool),
+                               labels=jnp.asarray(labels))
+    hidden, _ = llm.forward(params["llm"], cfg.llm, sp.embeds,
+                            attention_mask=sp.attention_mask)
+    got_logits = np.asarray(llm.lm_logits(params["llm"], cfg.llm, hidden))
+    np.testing.assert_allclose(got_logits, want_logits, rtol=3e-4, atol=3e-4)
+
+    shift_logits = got_logits[:, :-1].reshape(-1, 128)
+    shift_labels = np.asarray(sp.labels)[:, 1:].reshape(-1)
+    got_loss = float(cross_entropy_with_smoothing(
+        jnp.asarray(shift_logits), jnp.asarray(shift_labels),
+        label_smoothing=0.1))
+    assert abs(got_loss - want_loss) < 2e-5, (got_loss, want_loss)
 
 
 # ---------------------------------------------------------------------------
