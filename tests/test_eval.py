@@ -128,3 +128,164 @@ def test_eval_cli_smoke(tmp_path):
     assert len(data) == 1
     assert data[0]["response"].startswith("Question: ")
     assert "| Answer:" in data[0]["response"]
+
+
+def test_iou_accumulator_matches_reference_recomputation():
+    """Fixture-match IoUAccumulator against a verbatim torch re-computation of
+    the reference's validate() aggregation (train_walkgpt.py:1180-1299):
+    per-class float64 totals, giou no-object rule, TP/FP/FN detection
+    counters, valid-union mIoU, AP50/Recall inclusive + no-bg variants."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(7)
+    pairs = []
+    for _ in range(12):
+        pred = (rng.rand(16, 16) > 0.5).astype(np.int64)
+        gt = (rng.rand(16, 16) > 0.5).astype(np.int64)
+        pairs.append((pred, gt))
+    pairs.append((np.zeros((16, 16), np.int64), np.zeros((16, 16), np.int64)))
+    pairs.append((np.ones((16, 16), np.int64), np.zeros((16, 16), np.int64)))
+    pairs.append((np.zeros((16, 16), np.int64), np.ones((16, 16), np.int64)))
+    p, g = (rng.rand(16, 16) > 0.4).astype(np.int64), np.zeros((16, 16), np.int64)
+    g[:12] = p[:12]                      # high-IoU pair -> TP
+    pairs.append((p, g))
+    ign = (rng.rand(16, 16) > 0.5).astype(np.int64)
+    ign_t = (rng.rand(16, 16) > 0.5).astype(np.int64)
+    ign_t[:3] = 255                      # ignore_index region
+    pairs.append((ign, ign_t))
+
+    # --- reference re-computation (torch, float64, CPU) -------------------
+    def intersectionAndUnionGPU(output, target, K, ignore_index=255):
+        output = output.view(-1).clone()
+        target = target.view(-1)
+        output[target == ignore_index] = ignore_index
+        intersection = output[output == target]
+        area_intersection = torch.histc(intersection.float(), bins=K, min=0,
+                                        max=K - 1)
+        area_output = torch.histc(output.float(), bins=K, min=0, max=K - 1)
+        area_target = torch.histc(target.float(), bins=K, min=0, max=K - 1)
+        area_union = area_output + area_target - area_intersection
+        return area_intersection, area_union, area_target
+
+    K = 2
+    inter_total = torch.zeros(K, dtype=torch.float64)
+    union_total = torch.zeros(K, dtype=torch.float64)
+    giou_sum = torch.zeros(K, dtype=torch.float64)
+    giou_count = torch.zeros(K, dtype=torch.float64)
+    target_total = torch.zeros(K, dtype=torch.float64)
+    pred_total = torch.zeros(K, dtype=torch.float64)
+    tp_counter = torch.zeros(1, dtype=torch.float64)
+    fp_counter = torch.zeros(1, dtype=torch.float64)
+    fn_counter = torch.zeros(1, dtype=torch.float64)
+    for pred, gt in pairs:
+        inter_i, union_i, target_i = intersectionAndUnionGPU(
+            torch.from_numpy(pred), torch.from_numpy(gt), K, 255)
+        inter_i = inter_i.to(torch.float64)
+        union_i = union_i.to(torch.float64)
+        target_i = target_i.to(torch.float64)
+        pred_i = union_i - target_i + inter_i
+        inter_total += inter_i
+        union_total += union_i
+        target_total += target_i
+        pred_total += pred_i
+        giou_sample = inter_i / (union_i + 1e-5)
+        giou_sample[union_i == 0] += 1.0
+        giou_sum += giou_sample
+        giou_count += 1.0
+        fg_target, fg_pred = target_i[1], pred_i[1]
+        if fg_target <= 0 and fg_pred <= 0:
+            pass
+        elif fg_target <= 0:
+            fp_counter += 1
+        elif fg_pred <= 0:
+            fn_counter += 1
+        else:
+            fg_iou = inter_i[1] / (union_i[1] + 1e-10)
+            if fg_iou >= 0.5:
+                tp_counter += 1
+            else:
+                fp_counter += 1
+                fn_counter += 1
+    iou_class = inter_total / (union_total + 1e-10)
+    giou_class = giou_sum / (giou_count + 1e-10)
+    class_ids = torch.arange(K)
+    valid_all = union_total > 0
+    valid_fg = valid_all & (class_ids != 0)
+    want = {
+        "ciou": iou_class[1].item(),
+        "giou": giou_class[1].item(),
+        "miou_inclusive": iou_class[valid_all].mean().item(),
+        "miou_exclusive": iou_class[valid_fg].mean().item(),
+        "ap50": (tp_counter / (tp_counter + fp_counter + 1e-10)).item(),
+        "recall": (tp_counter / (tp_counter + fn_counter + 1e-10)).item(),
+        "tp": tp_counter.item(), "fp": fp_counter.item(),
+        "fn": fn_counter.item(),
+    }
+    gt_all = target_total > 0
+    pred_all = pred_total > 0
+    iou_hits = (iou_class >= 0.5) & gt_all
+    fg = class_ids != 0
+    tp_fg = (iou_hits & fg).sum().item()
+    fn_fg = ((gt_all & fg) & ~iou_hits).sum().item()
+    fp_fg = ((pred_all & fg) & ~gt_all).sum().item()
+    want["ap50_no_bg"] = tp_fg / (tp_fg + fp_fg + 1e-10) if tp_fg + fp_fg else float("nan")
+    want["recall_no_bg"] = tp_fg / (tp_fg + fn_fg + 1e-10) if tp_fg + fn_fg else float("nan")
+
+    # --- ours ---------------------------------------------------------------
+    acc = IoUAccumulator()
+    for pred, gt in pairs:
+        acc.add_mask(pred, gt)
+    res = acc.results()
+    for key, val in want.items():
+        if val != val:
+            assert res[key] != res[key], key
+        else:
+            np.testing.assert_allclose(res[key], val, rtol=1e-12, err_msg=key)
+    assert res["tp"] + res["fp"] != 0
+    assert res["ap50"] != res["recall"] or res["fp"] == res["fn"]
+
+
+def test_parse_distance_block():
+    from walkgpt_tpu.eval.metrics import parse_distance_block
+    text = ("[assessment] ok [/assessment] Accessible features are here: "
+            "[p] bench [/p][SEG] [distance] Distance from the user to the "
+            "to the bench: 1.5 m; to the tactile paving: 12.0 m. [/distance]")
+    d = parse_distance_block(text)
+    assert d == {"bench": 1.5, "tactile paving": 12.0}
+    assert parse_distance_block("no block here") == {}
+    assert parse_distance_block("") == {}
+
+
+def test_parse_distance_block_from_composer():
+    """The parser round-trips our byte-compatible composer output."""
+    from walkgpt_tpu.data.pave import LabelMap, compose_answer_text
+    import os
+    lm_path = "/root/reference/datasets/labelmap.json"
+    if not os.path.exists(lm_path):
+        pytest.skip("labelmap absent")
+    from walkgpt_tpu.eval.metrics import parse_distance_block
+    lm = LabelMap.load(lm_path)
+    example = {"assessment": "The path is clear.",
+               "depth": {"3": 4.2, "7": 1.05}}
+    text = compose_answer_text(example, lm)
+    parsed = parse_distance_block(text)
+    assert len(parsed) == 2
+    assert sorted(parsed.values()) == [1.1, 4.2]  # composer renders {d:.1f}
+
+
+def test_depth_accuracy():
+    from walkgpt_tpu.eval.metrics import DepthAccuracy
+    depth = DepthAccuracy(rel_tol=0.25, abs_tol=0.25)
+    gt = {"bench": 4.0, "pole": 1.0, "curb": 10.0}
+    pred = ("[distance] Distance from the user to the to the bench: 4.5 m; "
+            "to the pole: 2.5 m. [/distance]")
+    depth.update(pred, gt)
+    r = depth.results()
+    # bench: |4.5-4.0|=0.5 <= max(0.25, 1.0) -> correct
+    # pole: |2.5-1.0|=1.5 > 0.25 -> wrong; curb unmatched -> wrong
+    np.testing.assert_allclose(r["depth_acc"], 1 / 3)
+    np.testing.assert_allclose(r["depth_mae"], (0.5 + 1.5) / 2)
+    np.testing.assert_allclose(r["depth_match_rate"], 2 / 3)
+    np.testing.assert_allclose(r["depth_block_rate"], 1.0)
+    depth.update("no block", {"bench": 1.0})
+    r = depth.results()
+    np.testing.assert_allclose(r["depth_block_rate"], 0.5)

@@ -181,23 +181,33 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
     from ..data.tokenizer import tokenizer_image_token
     from ..models import walkgpt
     from ..runtime.batching import prepare_batch
-    from ..eval.metrics import IoUAccumulator
+    from ..eval.metrics import (DepthAccuracy, IoUAccumulator,
+                                parse_distance_block)
+
+    from ..data.prefetch import prefetch_map, shard_indices
 
     fwd_cache, gen_cache = _jit_caches(cfg)
 
     acc = IoUAccumulator()
+    depth = DepthAccuracy()
     text_log: List[dict] = []
     n = len(dataset) if args.max_samples < 0 else min(args.max_samples,
                                                       len(dataset))
     sid = cfg.seg_token_id
 
-    for i in range(n):
+    def load(i):
         sample = dataset[i]
         batch = collate_batch([sample], tokenizer,
                               conv_type=args.conv_type,
                               use_mm_start_end=args.use_mm_start_end)
         db = prepare_batch(batch, img_size=cfg.sam.img_size,
                            seg_token_id=sid)
+        return sample, batch, db
+
+    # per-process strided shard (the DistributedSampler equivalent,
+    # evaluation_walkgpt.py:393-401) + 2-deep host prefetch overlapping
+    # image preprocessing with device steps
+    for sample, batch, db in prefetch_map(load, shard_indices(n), depth=2):
         # 1. teacher-forced mask metrics (jitted per shape bucket)
         out = fwd_cache(db.max_segs)(
             params, jnp.asarray(db.images), jnp.asarray(db.input_ids),
@@ -238,12 +248,34 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
                 logger(f"[val text] image={db.image_paths[0]}, sample={j} {line}")
             text_log.append({"image_path": db.image_paths[0],
                              "response": line})
+            # depth-text accuracy vs the GT answer's [distance] block
+            gt_text = (sample.conversations[j]
+                       if j < len(sample.conversations) else "")
+            gt_depth = parse_distance_block(gt_text)
+            if gt_depth:
+                depth.update(answer, gt_depth)
 
     acc.all_reduce()
+    depth.all_reduce()
     res = acc.results()
-    logger(f"{args.val_dataset}, giou: {res['giou']:.4f}, "
-           f"ciou: {res['ciou']:.4f}")
+    res.update(depth.results())
+    logger(format_metric_line(args.val_dataset, res))
     return res, text_log
+
+
+def format_metric_line(dataset_name: str, res: dict) -> str:
+    """The reference's validate log line (train_walkgpt.py:1311-1316) plus the
+    depth-text leg."""
+    line = (f"{dataset_name}, giou: {res['giou']:.4f}, ciou: {res['ciou']:.4f}, "
+            f"mIoU(all): {res['miou_inclusive']:.4f}, "
+            f"mIoU(no-bg): {res['miou_exclusive']:.4f}, "
+            f"AP50(all): {res['ap50']:.4f}, Recall(all): {res['recall']:.4f}, "
+            f"AP50(no-bg): {res['ap50_no_bg']:.4f}, "
+            f"Recall(no-bg): {res['recall_no_bg']:.4f}")
+    if "depth_acc" in res:
+        line += (f", depth-acc: {res['depth_acc']:.4f}, "
+                 f"depth-MAE: {res['depth_mae']:.4f}m")
+    return line
 
 
 def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
@@ -255,36 +287,42 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
     from ..data.collate import collate_batch
     from ..data.tokenizer import tokenizer_image_token
     from ..eval.matcher import match_pred
-    from ..eval.metrics import AverageMeter, IoUAccumulator
-    from ..models import walkgpt
+    from ..eval.metrics import IoUAccumulator
     from ..runtime.batching import prepare_batch
 
+    from ..data.prefetch import prefetch_map, shard_indices
+
+    _, gen_cache = _jit_caches(cfg)
     acc = IoUAccumulator()
     records = []
     n = len(dataset) if args.max_samples < 0 else min(args.max_samples,
                                                       len(dataset))
-    for i in range(n):
+
+    def load(i):
         sample = dataset[i]
         batch = collate_batch([sample], tokenizer, conv_type=args.conv_type,
                               use_mm_start_end=args.use_mm_start_end)
         db = prepare_batch(batch, img_size=cfg.sam.img_size,
                            seg_token_id=cfg.seg_token_id)
+        return sample, batch, db
+
+    for sample, batch, db in prefetch_map(load, shard_indices(n), depth=2):
         prompts, questions = _question_prompts(batch, args.conv_type,
                                                args.use_mm_start_end)
         rows = [tokenizer_image_token(p, tokenizer, return_np=True)
                 for p in prompts]
         t = max(len(r) for r in rows)
-        ids = np.full((len(rows), t), tokenizer.pad_token_id, np.int64)
+        # x64 length buckets -> the same jitted program serves the dataset
+        # (eager generate_and_segment dispatch is 10-100x slower on this link)
+        t_pad = ((t + 63) // 64) * 64
+        ids = np.full((len(rows), t_pad), tokenizer.pad_token_id, np.int64)
         for j, r in enumerate(rows):
             ids[j, :len(r)] = r
-        ev = walkgpt.generate_and_segment(
-            params, cfg, images=jnp.asarray(db.images),
-            input_ids=jnp.asarray(ids),
-            attention_mask=jnp.asarray(ids != tokenizer.pad_token_id),
-            row_image_idx=jnp.asarray(db.row_image_idx),
-            pixel_hw=jnp.asarray(db.pixel_hw),
-            max_new_tokens=args.max_new_tokens, max_segs=db.max_segs,
-            eos_id=tokenizer.eos_token_id)
+        ev = gen_cache(args.max_new_tokens, db.max_segs,
+                       tokenizer.eos_token_id)(
+            params, jnp.asarray(db.images), jnp.asarray(ids),
+            jnp.asarray(ids != tokenizer.pad_token_id),
+            jnp.asarray(db.row_image_idx), jnp.asarray(db.pixel_hw))
 
         n_pred = int(ev.seg_valid.sum())
         gt = np.asarray(db.gt_masks)
@@ -314,8 +352,7 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
     with open(os.path.join(out_dir, f"out_file_{args.local_rank}.json"),
               "w") as f:
         json.dump(records, f, indent=2)
-    logger(f"{args.val_dataset} [ar], giou: {res['giou']:.4f}, "
-           f"ciou: {res['ciou']:.4f}")
+    logger(format_metric_line(f"{args.val_dataset} [ar]", res))
     return res, records
 
 

@@ -203,14 +203,22 @@ def main(argv=None):
 
     batch_time = AverageMeter("time", ":.3f")
     data_time = AverageMeter("data", ":.3f")
-    best_giou = -1.0
+    best_miou = -1.0
     global_step = start_epoch * args.steps_per_epoch
+
+    from ..data.prefetch import prefetch
 
     for epoch in range(start_epoch, args.epochs):
         epoch_t0 = time.time()
+        # 2-deep background prefetch: host collate/preprocess of the next
+        # batches overlaps the device step (data_time then measures only the
+        # residual wait, like the reference's DataLoader data_time meter)
+        batches = iter(prefetch(
+            (make_batch(rng.randint(0, len(dataset), args.batch_size))
+             for _ in range(args.steps_per_epoch)), depth=2))
         for it in range(args.steps_per_epoch):
             t0 = time.time()
-            batch = make_batch(rng.randint(0, len(dataset), args.batch_size))
+            batch = next(batches)
             data_time.update(time.time() - t0)
             if args.profile_steps and global_step == 2:
                 import jax as _jax
@@ -261,12 +269,20 @@ def main(argv=None):
             res, _ = validate(va, cfg, state.params, tokenizer, val_ds)
             writer.add_scalar("val/giou", res["giou"], epoch)
             writer.add_scalar("val/ciou", res["ciou"], epoch)
-            if res["giou"] > best_giou:
-                best_giou = res["giou"]
+            writer.add_scalar("val/miou_inclusive", res["miou_inclusive"], epoch)
+            writer.add_scalar("val/miou_exclusive", res["miou_exclusive"], epoch)
+            writer.add_scalar("val/miou", res["miou"], epoch)
+            writer.add_scalar("val/ap50_inclusive", res["ap50"], epoch)
+            writer.add_scalar("val/recall_inclusive", res["recall"], epoch)
+            # best-ckpt swap on mIoU with the reference's marker name
+            # (train_walkgpt.py:648-663: meta_log_miou{...}_ciou{...}.pth)
+            miou = res["miou"]
+            if not (miou != miou) and miou > best_miou:   # NaN-safe compare
+                best_miou = miou
                 best_dir = os.path.join(log_dir, "best_ckpt_model")
-                ck.save_orbax(os.path.join(
-                    best_dir, f"meta_log_giou{best_giou:.3f}"), state.params)
-                print(f"[best] giou {best_giou:.4f} -> {best_dir}")
+                marker = f"meta_log_miou{best_miou:.3f}_ciou{res['ciou']:.3f}"
+                ck.save_orbax(os.path.join(best_dir, marker), state.params)
+                print(f"[best] miou {best_miou:.4f} -> {best_dir}")
         if 0 <= args.max_steps <= global_step:
             break
 
