@@ -120,3 +120,151 @@ def test_llm_forward_flash_parity():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_flash_bwd_padded_masked_multihead():
+    """Pallas backward vs einsum vjp at awkward shapes: padding in both N and
+    M directions, key-validity mask, multiple heads, causal and not."""
+    b, h, n, d = 2, 3, 70, 16
+    q, k, v = rand(b, h, n, d, seed=20), rand(b, h, n, d, seed=21), \
+        rand(b, h, n, d, seed=22)
+    kvalid = np.ones((b, n), bool)
+    kvalid[0, 50:] = False
+    kvalid[1, 61:] = False
+    kvalid_j = jnp.asarray(kvalid)
+    g_out = rand(b, h, n, d, seed=23)
+
+    for causal in (False, True):
+        def loss_flash(q, k, v):
+            o = flash_attention(q, k, v, causal, 32, 32, key_valid=kvalid_j)
+            return (o * g_out).sum()
+
+        def loss_ref(q, k, v):
+            mask = kvalid_j[:, None, None, :]
+            if causal:
+                mask = mask & jnp.tril(jnp.ones((n, n), bool))[None, None]
+            return (mha(q, k, v, mask=mask) * g_out).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, bb in zip("qkv", gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-5,
+                err_msg=f"d{name} causal={causal}")
+
+
+def test_sam_flash_bwd_including_rel_grads():
+    """SAM backward: dq/dk/dv AND d_rel_h/d_rel_w vs the einsum bias
+    formulation (rel grads feed the trainable rel-pos tables)."""
+    b, h, d = 1, 2, 16
+    gh = gw = 6                      # n = 36, forces padding at bq=128 bucket
+    n = gh * gw
+    q, k, v = rand(b, h, n, d, seed=30), rand(b, h, n, d, seed=31), \
+        rand(b, h, n, d, seed=32)
+    rel_h = rand(b, h, n, gh, seed=33)
+    rel_w = rand(b, h, n, gw, seed=34)
+    g_out = rand(b, h, n, d, seed=35)
+
+    def loss_flash(q, k, v, rh, rw):
+        o = sam_flash_attention(q, k, v, rh, rw, (gh, gw))
+        return (o * g_out).sum()
+
+    def loss_ref(q, k, v, rh, rw):
+        bias = (rh[..., :, None] + rw[..., None, :]).reshape(b, h, n, n)
+        return (mha(q, k, v, bias=bias) * g_out).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    for name, a, bb in zip(["q", "k", "v", "rel_h", "rel_w"], gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"d{name}")
+
+
+def test_flash_train_step_has_no_quadratic_logits():
+    """The jaxpr of the flash grad must not contain an [N, N] intermediate —
+    the whole point of the backward kernels (VERDICT round-1 Weak #4)."""
+    n, d = 512, 32
+    q = rand(1, 1, n, d, seed=40)
+
+    def loss(q, k, v):
+        return flash_attention(q, k, v, True, 256, 256).sum()
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, q, q)
+    quadratic = [v for eqn in jaxpr.jaxpr.eqns for v in eqn.outvars
+                 if getattr(v.aval, "shape", None) and
+                 tuple(v.aval.shape[-2:]) == (n, n)]
+    assert not quadratic, f"found [N,N] intermediates: {quadratic}"
+
+
+def test_sam_window_attention_matches_einsum():
+    from walkgpt_tpu.ops.flash_attention import sam_window_attention
+    ws, d = 4, 16
+    t = ws * ws
+    bw, h = 3, 2
+    q, k, v = rand(bw, h, t, d, seed=50), rand(bw, h, t, d, seed=51), \
+        rand(bw, h, t, d, seed=52)
+    rel_h = rand(bw, h, t, ws, seed=53)
+    rel_w = rand(bw, h, t, ws, seed=54)
+    got = sam_window_attention(q, k, v, rel_h, rel_w, ws)
+    bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(bw, h, t, t)
+    ref = mha(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_sam_window_attention_bwd():
+    from walkgpt_tpu.ops.flash_attention import sam_window_attention
+    ws, d = 3, 8
+    t = ws * ws
+    bw, h = 2, 2
+    q, k, v = rand(bw, h, t, d, seed=60), rand(bw, h, t, d, seed=61), \
+        rand(bw, h, t, d, seed=62)
+    rel_h = rand(bw, h, t, ws, seed=63)
+    rel_w = rand(bw, h, t, ws, seed=64)
+    g_out = rand(bw, h, t, d, seed=65)
+
+    def loss_flash(q, k, v, rh, rw):
+        return (sam_window_attention(q, k, v, rh, rw, ws) * g_out).sum()
+
+    def loss_ref(q, k, v, rh, rw):
+        bias = (rh[..., :, None] + rw[..., None, :]).reshape(bw, h, t, t)
+        return (mha(q, k, v, bias=bias) * g_out).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    for name, a, bb in zip(["q", "k", "v", "rel_h", "rel_w"], gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"d{name}")
+
+
+def test_sam_encoder_windowed_flash_parity():
+    """Full tiny encoder: windowed+global flash path == einsum path, fwd and
+    grad (the windowed path now routes through sam_window_attention)."""
+    from walkgpt_tpu.core.config import SAM_VIT_TINY
+    from walkgpt_tpu.models import sam_encoder
+    params = sam_encoder.init(jax.random.PRNGKey(2), SAM_VIT_TINY)
+    for blk in params["blocks"]:
+        if "rel_pos_h" in blk:
+            blk["rel_pos_h"] = 0.07 * jnp.arange(
+                blk["rel_pos_h"].size, dtype=jnp.float32).reshape(
+                blk["rel_pos_h"].shape)
+            blk["rel_pos_w"] = -0.03 * jnp.arange(
+                blk["rel_pos_w"].size, dtype=jnp.float32).reshape(
+                blk["rel_pos_w"].shape)
+    x = rand(2, 64, 64, 3, seed=70)
+    ref = sam_encoder.apply(params, SAM_VIT_TINY, x, use_flash=False)
+    got = sam_encoder.apply(params, SAM_VIT_TINY, x, use_flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-4,
+                               atol=5e-5)
+
+    def loss(params, flash):
+        return sam_encoder.apply(params, SAM_VIT_TINY, x,
+                                 use_flash=flash).sum()
+
+    gf = jax.grad(lambda p: loss(p, True))(params)
+    gr = jax.grad(lambda p: loss(p, False))(params)
+    flat_f, _ = jax.tree_util.tree_flatten(gf)
+    flat_r, _ = jax.tree_util.tree_flatten(gr)
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4)

@@ -77,7 +77,8 @@ def _rel_projections(q, rel_pos_h, rel_pos_w, h, w):
 
 
 def _attention(p, x: jnp.ndarray, num_heads: int, use_rel_pos: bool,
-               use_flash: bool, fast: bool = False) -> jnp.ndarray:
+               use_flash: bool, fast: bool = False,
+               windowed: bool = False) -> jnp.ndarray:
     """x: [B, H, W, C] (B may include folded windows).
 
     fast=True keeps the bias/logits tensors in the activation dtype (bf16)
@@ -89,7 +90,13 @@ def _attention(p, x: jnp.ndarray, num_heads: int, use_rel_pos: bool,
     qkv = nn.linear(p["qkv"], x.reshape(b, h * w, c))
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
-    if use_flash and use_rel_pos:
+    if use_flash and use_rel_pos and windowed:
+        # fused whole-window kernel: logits/bias live only in VMEM
+        from ..ops.flash_attention import sam_window_attention
+        rel_h, rel_w = _rel_projections(q, p["rel_pos_h"], p["rel_pos_w"], h, w)
+        out = sam_window_attention(q, k, v, rel_h.astype(q.dtype),
+                                   rel_w.astype(q.dtype), h)
+    elif use_flash and use_rel_pos:
         from ..ops.flash_attention import sam_flash_attention
         rel_h, rel_w = _rel_projections(q, p["rel_pos_h"], p["rel_pos_w"], h, w)
         out = sam_flash_attention(q, k, v, rel_h.astype(q.dtype),
@@ -126,10 +133,10 @@ def _block(p, x: jnp.ndarray, cfg: SAMEncoderConfig, window: int,
     if window > 0:
         h, w = x.shape[1], x.shape[2]
         x, pad_hw = window_partition(x, window)
-        # windowed tiles are tiny (window² tokens) — einsum path, optionally
-        # with bf16 bias/logits traffic (fast_windowed)
-        x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos, use_flash=False,
-                       fast=fast_windowed)
+        # use_flash: fused multi-window-per-program kernel (no HBM logits);
+        # else einsum, optionally with bf16 bias/logits traffic (fast_windowed)
+        x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos,
+                       use_flash=use_flash, fast=fast_windowed, windowed=True)
         x = window_unpartition(x, window, pad_hw, (h, w))
     else:
         x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos, use_flash=use_flash)

@@ -15,9 +15,13 @@ Two kernels, one online-softmax core:
     bias tile is rel_h[:, rows][..., None] + rel_w[:, None, :], computed in
     VMEM from two [N, 64]-ish operands.
 
-Both are wrapped in jax.custom_vjp whose backward recomputes attention with
-the exact einsum formulation — the true gradient of softmax attention — so
-the kernels are usable inside the training step.
+Both have REAL Pallas backward kernels (the TPU counterpart of the Triton
+bwd, mpt/flash_attn_triton.py:270-750): the forward also emits the per-row
+logsumexp; the backward recomputes probability tiles from (q, k, lse) in VMEM
+and runs as two kernels — dq over q-blocks and dk/dv over k-blocks — so no
+[N, N] logits tensor ever exists in HBM under grad. The SAM variant also
+produces rel_h/rel_w gradients (they feed trainable rel-pos tables when the
+towers are unfrozen).
 
 Tile sizes: bq=256, bk=512 (=8x64 key-grid rows for SAM). All shapes padded
 by the callers to multiples; masking keeps semantics exact.
@@ -33,8 +37,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import mha
-
 DEFAULT_BQ = 256
 DEFAULT_BK = 512
 NEG_INF = -1e30
@@ -45,12 +47,13 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, kvalid_ref, o_ref, *, bk: int,
+def _fwd_kernel(q_ref, k_ref, v_ref, kvalid_ref, o_ref, lse_ref, *, bk: int,
                 causal: bool, scale: float, q_offset: int):
     """One (batch*head, q-block) program.
 
     q_ref: [bq, D]; k_ref/v_ref: [M, D]; kvalid_ref: [1, M] bool mask
     (always provided; the caller passes all-True when unmasked).
+    Emits o and the per-row logsumexp (lse) residual for the backward.
     """
     bq, d = q_ref.shape
     m_tot = k_ref.shape[0]
@@ -95,6 +98,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvalid_ref, o_ref, *, bk: int,
         m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, init)
 
     o_ref[:] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+    lse_ref[:] = m_i + jnp.log(jnp.maximum(l_i, 1e-30))
 
 
 def _flash_fwd(q, k, v, key_valid, *, causal: bool, bq: int, bk: int,
@@ -113,7 +117,7 @@ def _flash_fwd(q, k, v, key_valid, *, causal: bool, bq: int, bk: int,
     kvf = jnp.broadcast_to(kvf[:, None, :], (b, h, m)).reshape(b * h, 1, m)
 
     grid = (b * h, pl.cdiv(n, bq))
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, bk=bk, causal=causal, scale=scale,
                           q_offset=q_offset),
         grid=grid,
@@ -127,12 +131,183 @@ def _flash_fwd(q, k, v, key_valid, *, causal: bool, bq: int, bk: int,
             pl.BlockSpec((None, 1, m), lambda bh, iq: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, bq, d), lambda bh, iq: (bh, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((None, bq, d), lambda bh, iq: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, 1), lambda bh, iq: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n, 1), jnp.float32),
+        ),
         interpret=_interpret(),
     )(qf, kf, vf, kvf)
-    return out.reshape(b, h, n, d)
+    return out.reshape(b, h, n, d), lse
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, kvalid_ref,
+               dq_ref, *, bk: int, causal: bool, scale: float):
+    """dq for one (batch*head, q-block): loop over key blocks, recompute the
+    probability tile from lse, dlogits = p * (g v^T - delta), dq += dlogits k.
+    """
+    bq, d = q_ref.shape
+    m_tot = k_ref.shape[0]
+    iq = pl.program_id(1)
+
+    q = q_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    lse = lse_ref[:].astype(jnp.float32)           # [bq, 1]
+    delta = delta_ref[:].astype(jnp.float32)       # [bq, 1]
+    q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    num_kb = m_tot // bk
+
+    def body(jk, dq_acc):
+        k = k_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        v = v_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        kv = kvalid_ref[0, pl.ds(jk * bk, bk)]
+        mask = jnp.broadcast_to((kv != 0)[None, :], (bq, bk))
+        if causal:
+            k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            mask = mask & (k_pos <= q_pos)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse)                        # [bq, bk]
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq_acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    if causal:
+        last_q = (iq + 1) * bq - 1
+        num_live = jnp.minimum((last_q // bk) + 1, num_kb)
+        dq = jax.lax.fori_loop(0, num_live, body, jnp.zeros((bq, d), jnp.float32))
+    else:
+        dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, kvalid_ref,
+                dk_ref, dv_ref, *, bq: int, causal: bool, scale: float):
+    """dk/dv for one (batch*head, k-block): loop over query blocks."""
+    bk, d = k_ref.shape
+    n_tot = q_ref.shape[0]
+    jk = pl.program_id(1)
+
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    kv = kvalid_ref[0, :]
+    num_qb = n_tot // bq
+    k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+
+    def body(jq, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        g = g_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        delta = delta_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = jnp.broadcast_to((kv != 0)[None, :], (bq, bk))
+        if causal:
+            q_pos = jq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            mask = mask & (k_pos <= q_pos)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv_new = dv_acc + jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_new = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    init = (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32))
+    if causal:
+        # queries below the diagonal only: first q block containing jk*bk
+        jq0 = (jk * bk) // bq
+        dk, dv = jax.lax.fori_loop(jq0, num_qb, body, init)
+    else:
+        dk, dv = jax.lax.fori_loop(0, num_qb, body, init)
+    dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, key_valid, out, lse, g, *, causal: bool, bq: int,
+               bk: int):
+    """Pallas backward: dq per q-block, dk/dv per k-block. Inputs are the
+    UNPADDED [B, H, ., D] tensors; padding mirrors the forward."""
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    pn, pm = _pad_len(n, bq), _pad_len(m, bk)
+    scale = 1.0 / math.sqrt(d)
+
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, pn), (0, 0))).reshape(b * h, n + pn, d)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, pm), (0, 0))).reshape(b * h, m + pm, d)
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, pm), (0, 0))).reshape(b * h, m + pm, d)
+    gf = jnp.pad(g, ((0, 0), (0, 0), (0, pn), (0, 0))).reshape(b * h, n + pn, d)
+    if key_valid is None:
+        key_valid = jnp.ones((b, m), bool)
+    kvf = jnp.pad(key_valid.astype(jnp.int32), ((0, 0), (0, pm)))
+    kvf = jnp.broadcast_to(kvf[:, None, :], (b, h, m + pm)).reshape(b * h, 1,
+                                                                    m + pm)
+    # delta = rowsum(dO * O) — cheap fused elementwise+reduce outside pallas
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    deltaf = jnp.pad(delta, ((0, 0), (0, 0), (0, pn))).reshape(b * h, n + pn, 1)
+    lsef = jnp.pad(lse.reshape(b * h, n, 1), ((0, 0), (0, pn), (0, 0)))
+
+    full_q = lambda bh, i: (bh, 0, 0)
+    blk_q = lambda bh, i: (bh, i, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, bk=bk, causal=causal, scale=scale),
+        grid=(b * h, (n + pn) // bq),
+        in_specs=[
+            pl.BlockSpec((None, bq, d), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, m + pm, d), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, m + pm, d), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, d), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, 1), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, 1), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, m + pm), full_q, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, bq, d), blk_q, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, n + pn, d), q.dtype),
+        interpret=_interpret(),
+    )(qf, kf, vf, gf, lsef, deltaf, kvf)
+
+    blk_k = lambda bh, j: (bh, j, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, bq=bq, causal=causal, scale=scale),
+        grid=(b * h, (m + pm) // bk),
+        in_specs=[
+            pl.BlockSpec((None, n + pn, d), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pn, d), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pn, 1), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pn, 1), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, bk),
+                         lambda bh, j: (bh, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, m + pm, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, m + pm, d), v.dtype),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, gf, lsef, deltaf, kvf)
+
+    dq = dq.reshape(b, h, n + pn, d)[:, :, :n]
+    dk = dk.reshape(b, h, m + pm, d)[:, :, :m]
+    dv = dv.reshape(b, h, m + pm, d)[:, :, :m]
+    return dq, dk, dv
 
 
 def _pad_len(n, block):
@@ -148,11 +323,12 @@ def flash_attention(q, k, v, causal: bool = False, bq: int = DEFAULT_BQ,
     return _flash_attention_impl(q, k, v, causal, bq, bk, key_valid)
 
 
-def _flash_attention_impl(q, k, v, causal, bq, bk, key_valid):
+def _flash_attention_impl(q, k, v, causal, bq, bk, key_valid,
+                          return_lse: bool = False):
     b, h, n, d = q.shape
     m = k.shape[2]
     # the kernel's causal mask aligns timeline STARTS (q_offset=0) while the
-    # vjp's reference mask aligns ENDS; both agree only for self-attention
+    # reference mask aligns ENDS; both agree only for self-attention
     assert not causal or n == m, "causal flash requires N == M self-attention"
     pn, pm = _pad_len(n, bq), _pad_len(m, bk)
     if key_valid is None:
@@ -161,30 +337,24 @@ def _flash_attention_impl(q, k, v, causal, bq, bk, key_valid):
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, pm), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, pm), (0, 0)))
     kv = jnp.pad(key_valid, ((0, 0), (0, pm)))
-    out = _flash_fwd(qp, kp, vp, kv, causal=causal, bq=bq, bk=bk, q_offset=0)
-    return out[:, :, :n]
+    out, lse = _flash_fwd(qp, kp, vp, kv, causal=causal, bq=bq, bk=bk,
+                          q_offset=0)
+    out = out[:, :, :n]
+    if return_lse:
+        return out, lse.reshape(b, h, n + pn)[:, :, :n]
+    return out
 
 
 def _flash_vjp_fwd(q, k, v, causal, bq, bk, key_valid):
-    out = _flash_attention_impl(q, k, v, causal, bq, bk, key_valid)
-    return out, (q, k, v, key_valid)
+    out, lse = _flash_attention_impl(q, k, v, causal, bq, bk, key_valid,
+                                     return_lse=True)
+    return out, (q, k, v, key_valid, out, lse)
 
 
 def _flash_vjp_bwd(causal, bq, bk, res, g):
-    q, k, v, key_valid = res
-    n, m = q.shape[2], k.shape[2]
-    mask = None
-    if key_valid is not None:
-        mask = key_valid[:, None, None, :]
-    if causal:
-        cm = jnp.tril(jnp.ones((n, m), bool), k=m - n)[None, None]
-        mask = cm if mask is None else (mask & cm)
-
-    def ref_attn(q_, k_, v_):
-        return mha(q_, k_, v_, mask=mask)
-
-    _, vjp = jax.vjp(ref_attn, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, key_valid, out, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, key_valid, out, lse, g, causal=causal,
+                            bq=bq, bk=bk)
     return dq, dk, dv, None
 
 
@@ -195,7 +365,7 @@ flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 # SAM decomposed rel-pos flash attention
 # ---------------------------------------------------------------------------
 
-def _sam_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, *,
+def _sam_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, lse_ref, *,
                     bk: int, kw: int, scale: float, m_valid: int):
     """q_ref: [bq, D]; k/v: [M, D]; relh_ref: [num_kb, bq, rows_per_block]
     (key-block-major so the per-block slice indexes a leading dim);
@@ -248,6 +418,7 @@ def _sam_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, *,
             jnp.zeros((bq, d), jnp.float32))
     m_i, l_i, acc = jax.lax.fori_loop(0, m_tot // bk, body, init)
     o_ref[:] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+    lse_ref[:] = m_i + jnp.log(jnp.maximum(l_i, 1e-30))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -262,7 +433,8 @@ def sam_flash_attention(q, k, v, rel_h, rel_w, grid_hw, bq: int = DEFAULT_BQ,
     return _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk)
 
 
-def _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk):
+def _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk,
+                    return_lse: bool = False):
     b, h, n, d = q.shape
     gh, gw = grid_hw
     assert n == gh * gw
@@ -288,7 +460,7 @@ def _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk):
                   ).reshape(b * h, n + pn, gw)
 
     grid = (b * h, pl.cdiv(n + pn, bq))
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_sam_fwd_kernel, bk=bk, kw=gw,
                           scale=1.0 / math.sqrt(d), m_valid=n),
         grid=grid,
@@ -304,30 +476,441 @@ def _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk):
             pl.BlockSpec((None, bq, gw), lambda bh, iq: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, bq, d), lambda bh, iq: (bh, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n + pn, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((None, bq, d), lambda bh, iq: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, 1), lambda bh, iq: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n + pn, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n + pn, 1), jnp.float32),
+        ),
         interpret=_interpret(),
     )(qf, kf, vf, rhf, rwf)
-    return out.reshape(b, h, n + pn, d)[:, :, :n]
+    out = out.reshape(b, h, n + pn, d)[:, :, :n]
+    if return_lse:
+        return out, lse.reshape(b, h, n + pn)[:, :, :n]
+    return out
+
+
+def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
+                   delta_ref, dq_ref, drelh_ref, drelw_ref, *, bk: int,
+                   kw: int, scale: float, m_valid: int, gh_pad: int,
+                   gw_pad: int):
+    """dq + d_rel_h + d_rel_w for one (batch*head, q-block). The rel grads are
+    q-indexed, so they accumulate alongside dq while streaming key blocks.
+    d_rel_h[:, r] = sum over keys in grid row r of dlogits — a matmul with the
+    {0,1} row-selector built from iotas; same for columns."""
+    bq, d = q_ref.shape
+    m_tot = k_ref.shape[0]
+    rpb = bk // kw
+
+    q = q_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    lse = lse_ref[:].astype(jnp.float32)
+    delta = delta_ref[:].astype(jnp.float32)
+    relw = relw_ref[:].astype(jnp.float32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 0)
+    e_r = (col // kw == row).astype(jnp.float32)              # [rpb, bk]
+    colw = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 1)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 0)
+    e_w = (colw % kw == roww).astype(jnp.float32)             # [kw, bk]
+    bias_w = jax.lax.dot_general(relw, e_w, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    # column selector padded to the d_rel_w output width
+    e_w_sel = jnp.pad(e_w, ((0, gw_pad - kw), (0, 0)))        # [gw_pad, bk]
+
+    def body(jk, carry):
+        dq_acc, drh_acc, drw_acc = carry
+        k = k_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        v = v_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        rh = relh_ref[jk].astype(jnp.float32)                 # [bq, rpb]
+        s = s + bias_w + jax.lax.dot_general(
+            rh, e_r, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(k_pos < m_valid, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)                                  # [bq, bk]
+        dq_new = dq_acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        # global-row selector for this key block: rows jk*rpb .. jk*rpb+rpb-1
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (gh_pad, bk), 0)
+        ksel = jk * rpb + jax.lax.broadcasted_iota(jnp.int32, (gh_pad, bk),
+                                                   1) // kw
+        e_row_g = (rsel == ksel).astype(jnp.float32)           # [gh_pad, bk]
+        drh_new = drh_acc + jax.lax.dot_general(
+            ds, e_row_g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        drw_new = drw_acc + jax.lax.dot_general(
+            ds, e_w_sel, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dq_new, drh_new, drw_new
+
+    init = (jnp.zeros((bq, d), jnp.float32),
+            jnp.zeros((bq, gh_pad), jnp.float32),
+            jnp.zeros((bq, gw_pad), jnp.float32))
+    dq, drh, drw = jax.lax.fori_loop(0, m_tot // bk, body, init)
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+    drelh_ref[:] = drh.astype(drelh_ref.dtype)
+    drelw_ref[:] = drw.astype(drelw_ref.dtype)
+
+
+def _sam_dkv_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, *, bq: int, kw: int,
+                    scale: float, m_valid: int):
+    """dk/dv for one (batch*head, k-block), streaming query blocks. relh_ref
+    is this k-block's [N_pad, rpb] slice (key-block-major layout)."""
+    bk, d = k_ref.shape
+    n_tot = q_ref.shape[0]
+    jk = pl.program_id(1)
+    rpb = bk // kw
+
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 0)
+    e_r = (col // kw == row).astype(jnp.float32)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 1)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 0)
+    e_w = (colw % kw == roww).astype(jnp.float32)
+
+    def body(jq, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        g = g_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        delta = delta_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        rh = relh_ref[0, pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        rw = relw_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(rw, e_w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(rh, e_r, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        s = jnp.where(k_pos < m_valid, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv_new = dv_acc + jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_new = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    init = (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32))
+    dk, dv = jax.lax.fori_loop(0, n_tot // bq, body, init)
+    dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _sam_flash_bwd(q, k, v, rel_h, rel_w, out, lse, g, grid_hw, bq, bk):
+    b, h, n, d = q.shape
+    gh, gw = grid_hw
+    bk = (bk // gw) * gw if bk >= gw else gw
+    bk = min(bk, ((n + gw - 1) // gw) * gw)
+    bq = min(bq, ((n + 127) // 128) * 128)
+    pn = _pad_len(n, bq)
+    pm = _pad_len(n, bk)
+    pad_rows = pm // gw if gw else 0
+    rpb = bk // gw
+    num_kb = (n + pm) // bk
+    gh_pad = ((gh + 127) // 128) * 128
+    gw_pad = ((gw + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(d)
+
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, pn), (0, 0))).reshape(b * h, n + pn, d)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, pm), (0, 0))).reshape(b * h, n + pm, d)
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, pm), (0, 0))).reshape(b * h, n + pm, d)
+    gf = jnp.pad(g, ((0, 0), (0, 0), (0, pn), (0, 0))).reshape(b * h, n + pn, d)
+    rhf = jnp.pad(rel_h, ((0, 0), (0, 0), (0, pn), (0, pad_rows)))
+    rhf = rhf.reshape(b * h, n + pn, num_kb, rpb).transpose(0, 2, 1, 3)
+    rwf = jnp.pad(rel_w, ((0, 0), (0, 0), (0, pn), (0, 0))
+                  ).reshape(b * h, n + pn, gw)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    deltaf = jnp.pad(delta, ((0, 0), (0, 0), (0, pn))).reshape(b * h, n + pn, 1)
+    lsef = jnp.pad(lse.reshape(b * h, n, 1), ((0, 0), (0, pn), (0, 0)))
+
+    blk_q = lambda bh, i: (bh, i, 0)
+    full = lambda bh, i: (bh, 0, 0)
+
+    dq, drh_p, drw_p = pl.pallas_call(
+        functools.partial(_sam_dq_kernel, bk=bk, kw=gw, scale=scale, m_valid=n,
+                          gh_pad=gh_pad, gw_pad=gw_pad),
+        grid=(b * h, (n + pn) // bq),
+        in_specs=[
+            pl.BlockSpec((None, bq, d), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pm, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pm, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, num_kb, bq, rpb), lambda bh, i: (bh, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, gw), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, d), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, 1), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, 1), blk_q, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, bq, d), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, gh_pad), blk_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, gw_pad), blk_q, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n + pn, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n + pn, gh_pad), rel_h.dtype),
+            jax.ShapeDtypeStruct((b * h, n + pn, gw_pad), rel_w.dtype),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, rhf, rwf, gf, lsef, deltaf)
+
+    blk_k = lambda bh, j: (bh, j, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(_sam_dkv_kernel, bq=bq, kw=gw, scale=scale,
+                          m_valid=n),
+        grid=(b * h, (n + pm) // bk),
+        in_specs=[
+            pl.BlockSpec((None, n + pn, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
+            # this k-block's rel_h slice: [N_pad, rpb]
+            pl.BlockSpec((None, 1, n + pn, rpb), lambda bh, j: (bh, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pn, gw), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pn, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pn, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pn, 1), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n + pm, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n + pm, d), v.dtype),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, rhf, rwf, gf, lsef, deltaf)
+
+    dq = dq.reshape(b, h, n + pn, d)[:, :, :n]
+    dk = dk.reshape(b, h, n + pm, d)[:, :, :n]
+    dv = dv.reshape(b, h, n + pm, d)[:, :, :n]
+    drh = drh_p.reshape(b, h, n + pn, gh_pad)[:, :, :n, :gh]
+    drw = drw_p.reshape(b, h, n + pn, gw_pad)[:, :, :n, :gw]
+    return dq, dk, dv, drh, drw
 
 
 def _sam_vjp_fwd(q, k, v, rel_h, rel_w, grid_hw, bq, bk):
-    out = _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk)
-    return out, (q, k, v, rel_h, rel_w)
+    out, lse = _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk,
+                               return_lse=True)
+    return out, (q, k, v, rel_h, rel_w, out, lse)
 
 
 def _sam_vjp_bwd(grid_hw, bq, bk, res, g):
-    q, k, v, rel_h, rel_w = res
-    gh, gw = grid_hw
-    b, h, n, d = q.shape
-
-    def ref_attn(q_, k_, v_, rh_, rw_):
-        bias = (rh_[..., :, None] + rw_[..., None, :]).reshape(b, h, n, gh * gw)
-        return mha(q_, k_, v_, bias=bias)
-
-    _, vjp = jax.vjp(ref_attn, q, k, v, rel_h, rel_w)
-    return vjp(g)
+    q, k, v, rel_h, rel_w, out, lse = res
+    return _sam_flash_bwd(q, k, v, rel_h, rel_w, out, lse, g, grid_hw, bq, bk)
 
 
 sam_flash_attention.defvjp(_sam_vjp_fwd, _sam_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# SAM windowed attention (the 28 window-14 layers of ViT-H)
+# ---------------------------------------------------------------------------
+#
+# The einsum path materializes [B*nW, H, T, T] logits+bias in HBM per layer
+# (T=196): ~500 MB/layer at batch 8 fp32 — pure bandwidth burn. Here each
+# program computes whole-window attention for a GROUP of window-heads entirely
+# in VMEM: window tokens are tiny (196), so there is no streaming; the shared
+# rel-pos bias tile is built from two expansion matmuls. Mirrors
+# image_encoder.py:321-392 semantics exactly (zero-padded window tokens are
+# attended, as in the reference's window_partition).
+
+WINDOW_GROUP = 8
+
+
+def _win_expansions(ws: int, t: int):
+    col = jax.lax.broadcasted_iota(jnp.int32, (ws, t), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (ws, t), 0)
+    e_r = (col // ws == row).astype(jnp.float32)              # [ws, T]
+    e_w = (col % ws == row).astype(jnp.float32)               # [ws, T]
+    return e_r, e_w
+
+
+def _win_bias(relh, relw, e_r, e_w, wg, t, ws):
+    rh2 = relh.reshape(wg * t, ws).astype(jnp.float32)
+    rw2 = relw.reshape(wg * t, ws).astype(jnp.float32)
+    bias = jax.lax.dot_general(rh2, e_r, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    bias = bias + jax.lax.dot_general(rw2, e_w, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    return bias.reshape(wg, t, t)
+
+
+def _win_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, lse_ref,
+                    *, ws: int, scale: float):
+    """Matmuls run in the input dtype (bf16 in production) with fp32
+    accumulation; softmax statistics are fp32 — matching the fast einsum
+    path's numerics at a fraction of its HBM traffic."""
+    wg, t, d = q_ref.shape
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    e_r, e_w = _win_expansions(ws, t)
+    s = jax.lax.dot_general(q * jnp.asarray(scale, q.dtype), k,
+                            (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)   # [WG, T, T]
+    s = s + _win_bias(relh_ref[:], relw_ref[:], e_r, e_w, wg, t, ws)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[:] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[:] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _win_bwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
+                    delta_ref, dq_ref, dk_ref, dv_ref, drh_ref, drw_ref, *,
+                    ws: int, scale: float, ws_pad: int):
+    wg, t, d = q_ref.shape
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    lse = lse_ref[:].astype(jnp.float32)
+    delta = delta_ref[:].astype(jnp.float32)
+    e_r, e_w = _win_expansions(ws, t)
+    s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s + _win_bias(relh_ref[:], relw_ref[:], e_r, e_w, wg, t, ws)
+    p = jnp.exp(s - lse)
+    dv = jax.lax.dot_general(p, g, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)                                       # [WG, T, T]
+    dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    ds2 = ds.reshape(wg * t, t)
+    drh = jax.lax.dot_general(ds2, e_r, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    drw = jax.lax.dot_general(ds2, e_w, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+    dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+    drh_ref[:] = jnp.pad(drh.reshape(wg, t, ws),
+                         ((0, 0), (0, 0), (0, ws_pad - ws))
+                         ).astype(drh_ref.dtype)
+    drw_ref[:] = jnp.pad(drw.reshape(wg, t, ws),
+                         ((0, 0), (0, 0), (0, ws_pad - ws))
+                         ).astype(drw_ref.dtype)
+
+
+def _win_group(bwh: int) -> int:
+    wg = WINDOW_GROUP
+    while bwh % wg:
+        wg //= 2
+    return max(wg, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def sam_window_attention(q, k, v, rel_h, rel_w, window: int):
+    """Fused windowed attention with decomposed rel-pos bias.
+
+    q/k/v: [BW, H, T, D] with BW = batch*num_windows, T = window²;
+    rel_h/rel_w: [BW, H, T, window] per-axis rel-pos projections.
+    Exact reference semantics (zero-padded window tokens are attended)."""
+    out, _ = _win_impl(q, k, v, rel_h, rel_w, window)
+    return out
+
+
+def _win_impl(q, k, v, rel_h, rel_w, window):
+    bw, h, t, d = q.shape
+    assert t == window * window
+    bwh = bw * h
+    wg = _win_group(bwh)
+    shaped = lambda x, last: x.reshape(bwh, t, last)
+    qf, kf, vf = (shaped(x, d) for x in (q, k, v))
+    rhf = shaped(rel_h, window)
+    rwf = shaped(rel_w, window)
+    blk = lambda i: (i, 0, 0)
+    out, lse = pl.pallas_call(
+        functools.partial(_win_fwd_kernel, ws=window,
+                          scale=1.0 / math.sqrt(d)),
+        grid=(bwh // wg,),
+        in_specs=[
+            pl.BlockSpec((wg, t, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, window), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, window), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((wg, t, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, 1), blk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bwh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bwh, t, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, rhf, rwf)
+    return out.reshape(bw, h, t, d), lse
+
+
+def _win_vjp_fwd(q, k, v, rel_h, rel_w, window):
+    out, lse = _win_impl(q, k, v, rel_h, rel_w, window)
+    return out, (q, k, v, rel_h, rel_w, out, lse)
+
+
+def _win_vjp_bwd(window, res, g):
+    q, k, v, rel_h, rel_w, out, lse = res
+    bw, h, t, d = q.shape
+    bwh = bw * h
+    wg = _win_group(bwh)
+    ws_pad = ((window + 127) // 128) * 128
+    shaped = lambda x, last: x.reshape(bwh, t, last)
+    qf, kf, vf, gf = (shaped(x, d) for x in (q, k, v, g))
+    rhf = shaped(rel_h, window)
+    rwf = shaped(rel_w, window)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).reshape(bwh, t, 1)
+    blk = lambda i: (i, 0, 0)
+    dq, dk, dv, drh_p, drw_p = pl.pallas_call(
+        functools.partial(_win_bwd_kernel, ws=window,
+                          scale=1.0 / math.sqrt(d), ws_pad=ws_pad),
+        grid=(bwh // wg,),
+        in_specs=[pl.BlockSpec((wg, t, last), blk, memory_space=pltpu.VMEM)
+                  for last in (d, d, d, window, window, d, 1, 1)],
+        out_specs=tuple(
+            pl.BlockSpec((wg, t, last), blk, memory_space=pltpu.VMEM)
+            for last in (d, d, d, ws_pad, ws_pad)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bwh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bwh, t, d), k.dtype),
+            jax.ShapeDtypeStruct((bwh, t, d), v.dtype),
+            jax.ShapeDtypeStruct((bwh, t, ws_pad), rel_h.dtype),
+            jax.ShapeDtypeStruct((bwh, t, ws_pad), rel_w.dtype),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, rhf, rwf, gf, lse, delta)
+    unshape = lambda x, last: x.reshape(bw, h, t, last)
+    return (unshape(dq, d), unshape(dk, d), unshape(dv, d),
+            unshape(drh_p[..., :window], window),
+            unshape(drw_p[..., :window], window))
+
+
+sam_window_attention.defvjp(_win_vjp_fwd, _win_vjp_bwd)
