@@ -7,17 +7,18 @@ Measures the full grounded-navigation inference pipeline per image
     SAM mask decode -> 1024² mask canvas
 as ONE compiled XLA program, bf16 params, fp32 softmax/LN.
 
-Model scale (env BENCH_MODEL): "1b" (default) = WalkGPT-1B, the largest
-single-v5e-chip config; "demo" = tiny smoke. 7B/13B require a tp-sharded
-multi-chip mesh (future bench mode).
+Model scale (env BENCH_MODEL): "1b" (default) = WalkGPT-1B, largest
+bf16 single-v5e-chip config at 128-token decode; "7b"/"13b" = reference
+parity scales with int8 LLM weights at the reference's 512-token decode
+budget (evaluation_walkgpt.py:573-575); "demo" = tiny smoke.
 
 vs_baseline: the reference publishes NO numbers (BASELINE.md) and cannot run
 here (no GPU, no released weights), so the denominator is an analytic
-estimate of the reference pipeline on one A100-80G with PyTorch:
-WalkGPT-13B greedy 512 new tokens is HBM-bound at ~26 GB weight reads/token
-/ 2.0 TB/s ≈ 13 ms/token -> 6.7 s, + SAM ViT-H fp16 forward ~0.25 s + prefill
-~0.15 s ≈ 7.1 s/image => 0.141 img/s. This is generous to the reference
-(assumes perfect bandwidth utilization, zero python/host overhead).
+A100-80G PyTorch estimate computed for the SAME LLM size and decode budget
+as the measured configuration (like-for-like): greedy decode HBM-bound at
+2 bytes x LLM-params reads per token (amortized over the batch), plus SAM
+ViT-H fp16 forward + prefill per image. Generous to the reference (perfect
+bandwidth, zero host overhead, batched decode the reference doesn't do).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -31,9 +32,23 @@ import time
 
 import numpy as np
 
-REFERENCE_A100_IMGS_PER_SEC = 0.141   # analytic estimate, see module docstring
-MAX_NEW_TOKENS = 128
 MAX_SEGS = 16
+A100_HBM_BYTES_PER_SEC = 2.0e12      # A100-80G peak, generous to the reference
+A100_SAM_FWD_SEC = 0.25              # SAM ViT-H fp16 forward per batch
+A100_PREFILL_SEC = 0.15              # ~400-token prefill
+
+
+def a100_reference_imgs_per_sec(n_llm_params: float, max_new_tokens: int,
+                                batch: int) -> float:
+    """Analytic A100-80G PyTorch estimate for the SAME model size and decode
+    budget as the TPU measurement (like-for-like per VERDICT r1 #6): greedy
+    decode is HBM-bound at (2 bytes * LLM params) reads per token (weights
+    re-read each step, batch amortizes them), plus SAM forward + prefill per
+    image. Generous to the reference: perfect bandwidth, zero host overhead.
+    """
+    decode_sec = 2.0 * n_llm_params / A100_HBM_BYTES_PER_SEC * max_new_tokens
+    per_image = decode_sec / batch + A100_SAM_FWD_SEC + A100_PREFILL_SEC
+    return 1.0 / per_image
 
 
 def main():
@@ -47,8 +62,14 @@ def main():
     from walkgpt_tpu.models import walkgpt
 
     model_kind = os.environ.get("BENCH_MODEL", "1b")
-    iters = int(os.environ.get("BENCH_ITERS", "4"))
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # reference decode budget (evaluation_walkgpt.py:573-575) at parity scale;
+    # 128 for the fast default bench
+    max_new = int(os.environ.get(
+        "BENCH_NEW_TOKENS", "512" if model_kind in ("7b", "13b") else "128"))
+    iters = int(os.environ.get("BENCH_ITERS",
+                               "2" if model_kind in ("7b", "13b") else "4"))
+    batch = int(os.environ.get("BENCH_BATCH",
+                               "8" if model_kind in ("7b", "13b") else "16"))
 
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
     if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
@@ -61,17 +82,26 @@ def main():
     st = setup_walkgpt_tokens(tok)
     if model_kind == "demo":
         cfg = demo_config(seg_token_id=st.seg_token_idx)
+    elif model_kind == "7b":
+        from walkgpt_tpu.core.config import walkgpt_7b_config
+        cfg = walkgpt_7b_config(seg_token_id=st.seg_token_idx)
+    elif model_kind == "13b":
+        from walkgpt_tpu.core.config import walkgpt_13b_config
+        cfg = walkgpt_13b_config(seg_token_id=st.seg_token_idx)
     else:
         cfg = flagship_1b_config(seg_token_id=st.seg_token_idx)
     # drop the CLIP tower from the bench model: the deployed PAVE path is
     # SAM->MSQP tokens (evaluation_walkgpt.py:535-577), CLIP is a parity-only
     # alternate stream — no reason to hold its weights in HBM here.
     import dataclasses
-    cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True)
+    cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True,
+                              kv_quant_cache=os.environ.get("BENCH_KV") == "int8")
 
     dtype = jnp.bfloat16
     params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
-    quant = os.environ.get("BENCH_QUANT", "")
+    # 7B/13B need int8 weights to fit one v5e-16G chip (bf16 14/26 GB)
+    quant = os.environ.get("BENCH_QUANT",
+                           "int8" if model_kind in ("7b", "13b") else "")
     if quant == "int8":
         from walkgpt_tpu.ops.quant import quantize_llm
         params = dict(params, llm=quantize_llm(params["llm"]))
@@ -96,7 +126,7 @@ def main():
             attention_mask=attention_mask,
             row_image_idx=jnp.arange(batch, dtype=jnp.int32),
             pixel_hw=jnp.broadcast_to(jnp.array([[s - s // 4, s]]), (batch, 2)),
-            max_new_tokens=MAX_NEW_TOKENS, max_segs=MAX_SEGS * batch,
+            max_new_tokens=max_new, max_segs=MAX_SEGS * batch,
             eos_id=tok.eos_token_id)
 
     fn = jax.jit(pipeline)
@@ -120,15 +150,19 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     value = batch / dt
+    n_llm = nn.count_params({"llm": params["llm"]})
+    a100 = a100_reference_imgs_per_sec(n_llm, max_new, batch)
     result = {
         "metric": (f"PAVE e2e images/sec/chip (WalkGPT-{model_kind}: SAM-ViT-H "
                    f"encode + MSQP + prefill {ids.shape[1]}+255 tok + greedy "
-                   f"{MAX_NEW_TOKENS} tok + {MAX_SEGS}-SEG mask decode, "
+                   f"{max_new} tok + {MAX_SEGS}-SEG mask decode, "
                    f"{'int8-weight LLM, ' if quant == 'int8' else ''}bf16, "
-                   f"batch {batch})"),
+                   f"batch {batch}; baseline = analytic A100-80G at the SAME "
+                   f"{n_llm/1e9:.1f}B-LLM scale and {max_new}-token budget, "
+                   f"= {a100:.3f} img/s)"),
         "value": round(value, 4),
         "unit": "images/sec",
-        "vs_baseline": round(value / REFERENCE_A100_IMGS_PER_SEC, 2),
+        "vs_baseline": round(value / a100, 2),
     }
     print(json.dumps(result))
     print(f"# params={n_params/1e9:.2f}B latency={dt*1000:.1f}ms/batch{batch} "

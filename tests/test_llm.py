@@ -181,3 +181,60 @@ def test_int8_weight_only_quantization():
     x = jnp.array(np.random.RandomState(10).randn(2, 16), jnp.float32)
     err = float(jnp.abs(quantized_linear(q, x) - x @ w).max())
     assert err < 0.2
+
+
+def test_int8_kv_cache_decode_close():
+    """int8 KV cache: decode hidden states stay within quantization noise of
+    the fp cache path, and greedy_generate runs end-to-end with it."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.runtime.generate import greedy_generate
+
+    params = llm.init(jax.random.PRNGKey(3), LLAMA_TINY)
+    rng = np.random.RandomState(5)
+    ids = jnp.asarray(rng.randint(3, 500, (2, 12)))
+    mask = jnp.ones((2, 12), bool)
+    x = llm.embed(params, ids)
+
+    res_fp = greedy_generate(params, LLAMA_TINY, x, mask, max_new_tokens=8,
+                             eos_id=2, kv_quant=False)
+    res_q = greedy_generate(params, LLAMA_TINY, x, mask, max_new_tokens=8,
+                            eos_id=2, kv_quant=True)
+    assert res_q.tokens.shape == res_fp.tokens.shape
+    # prefill hidden (pre-cache) identical; decode hiddens within int8 noise
+    np.testing.assert_allclose(np.asarray(res_q.prefill_hidden),
+                               np.asarray(res_fp.prefill_hidden),
+                               rtol=1e-5, atol=1e-5)
+    a = np.asarray(res_q.pred_hidden, np.float32)
+    b = np.asarray(res_fp.pred_hidden, np.float32)
+    rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_prefill_cache_matches_decode_reconstruction():
+    """Prefill in-place cache writes: decoding from the prefilled cache must
+    match a full forward over prompt+token (regression for the cache-write
+    path rework)."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+
+    params = llm.init(jax.random.PRNGKey(4), LLAMA_TINY)
+    rng = np.random.RandomState(6)
+    ids = jnp.asarray(rng.randint(3, 500, (1, 9)))
+    x = llm.embed(params, ids)
+    cache = llm.init_kv_cache(LLAMA_TINY, 1, 16)
+    _, cache = llm.forward(params, LLAMA_TINY, x, kv_cache=cache)
+
+    nxt = jnp.asarray(rng.randint(3, 500, (1, 1)))
+    xe = llm.embed(params, nxt)
+    key_mask = jnp.arange(16)[None] <= 9
+    hid_step, _ = llm.decode_step(params, LLAMA_TINY, cache, xe,
+                                  jnp.array([9]), key_mask)
+
+    full_ids = jnp.concatenate([ids, nxt], axis=1)
+    hid_full, _ = llm.forward(params, LLAMA_TINY, llm.embed(params, full_ids))
+    np.testing.assert_allclose(np.asarray(hid_step[:, 0]),
+                               np.asarray(hid_full[:, -1]),
+                               rtol=2e-4, atol=2e-5)

@@ -220,6 +220,8 @@ class WalkGPTConfig:
     # only): ~13% faster SAM-H encode at small bf16 feature drift. Off for
     # fidelity-exact runs; bench/serving enable it.
     fast_windowed_attention: bool = False
+    # int8 KV cache (per-row scales): halves decode-time cache HBM reads.
+    kv_quant_cache: bool = False
 
     def replace(self, **kw) -> "WalkGPTConfig":
         return dataclasses.replace(self, **kw)

@@ -246,9 +246,36 @@ def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
-                  dtype=jnp.float32) -> Params:
+                  dtype=jnp.float32, quant: bool = False) -> Params:
+    """quant=True stores K/V as int8 with per-row (token) fp32 scales — halves
+    decode-time cache HBM reads (the bandwidth bound alongside the weights)."""
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if quant:
+        sshape = shape[:-1] + (1,)
+        return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(sshape, jnp.float32),
+                "v_scale": jnp.zeros(sshape, jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _quant_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., D] -> (int8 values, fp32 scale [..., 1]); symmetric per-row."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _cache_kv(kv_cache: Params, i, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Layer i's K/V in compute dtype (dequantized when int8)."""
+    k, v = kv_cache["k"][i], kv_cache["v"][i]
+    if "k_scale" in kv_cache:
+        k = (k.astype(jnp.float32) * kv_cache["k_scale"][i]).astype(dtype)
+        v = (v.astype(jnp.float32) * kv_cache["v_scale"][i]).astype(dtype)
+    else:
+        k, v = k.astype(dtype), v.astype(dtype)
+    return k, v
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +314,7 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
         bias = alibi_bias(cfg, pos, pos)[None]
 
     x = inputs_embeds
-    new_cache = {"k": [], "v": []} if kv_cache is not None else None
+    new_cache = dict(kv_cache) if kv_cache is not None else None
 
     def block_fn(layer, x):
         return _block(layer, cfg, x, positions=positions, mask=mask,
@@ -298,12 +325,22 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
     for i, layer in enumerate(params["layers"]):
         x, (k_new, v_new) = block_fn(layer, x)
         if kv_cache is not None:
-            pad = kv_cache["k"].shape[3] - t
-            new_cache["k"].append(jnp.pad(k_new, ((0, 0), (0, 0), (0, pad), (0, 0))))
-            new_cache["v"].append(jnp.pad(v_new, ((0, 0), (0, 0), (0, pad), (0, 0))))
+            # in-place slice writes (XLA aliases these into the cache buffer —
+            # no per-layer full-cache pad/copy)
+            if "k_scale" in new_cache:
+                kq, ks = _quant_rows(k_new)
+                vq, vs = _quant_rows(v_new)
+                new_cache["k"] = new_cache["k"].at[i, :, :, :t, :].set(kq)
+                new_cache["v"] = new_cache["v"].at[i, :, :, :t, :].set(vq)
+                new_cache["k_scale"] = new_cache["k_scale"].at[i, :, :, :t, :].set(ks)
+                new_cache["v_scale"] = new_cache["v_scale"].at[i, :, :, :t, :].set(vs)
+            else:
+                dt = new_cache["k"].dtype
+                new_cache["k"] = new_cache["k"].at[i, :, :, :t, :].set(
+                    k_new.astype(dt))
+                new_cache["v"] = new_cache["v"].at[i, :, :, :t, :].set(
+                    v_new.astype(dt))
     x = _norm(params["final_norm"], x, cfg)
-    if kv_cache is not None:
-        new_cache = {"k": jnp.stack(new_cache["k"]), "v": jnp.stack(new_cache["v"])}
     return x, new_cache
 
 
@@ -329,7 +366,8 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             * dist[:, None, :, :]                                  # [B, H, 1, L]
 
     x = inputs_embeds
-    new_k, new_v = [], []
+    out_cache = dict(kv_cache)
+    quant = "k_scale" in kv_cache
     batch_idx = jnp.arange(b)
     for i, layer in enumerate(params["layers"]):
         h_in = _norm(layer["input_norm"], x, cfg)
@@ -342,17 +380,25 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             cos, sin = rope_tables(cfg, positions)
             q = apply_rope(q, cos, sin, rot_dim)
             k1 = apply_rope(k1, cos, sin, rot_dim)
-        k_cache = kv_cache["k"][i].at[batch_idx, :, cache_len].set(
-            k1[:, :, 0].astype(kv_cache["k"].dtype))
-        v_cache = kv_cache["v"][i].at[batch_idx, :, cache_len].set(
-            v1[:, :, 0].astype(kv_cache["v"].dtype))
-        new_k.append(k_cache)
-        new_v.append(v_cache)
+        if quant:
+            kq, ks = _quant_rows(k1[:, :, 0])
+            vq, vs = _quant_rows(v1[:, :, 0])
+            out_cache["k"] = out_cache["k"].at[i, batch_idx, :, cache_len].set(kq)
+            out_cache["v"] = out_cache["v"].at[i, batch_idx, :, cache_len].set(vq)
+            out_cache["k_scale"] = out_cache["k_scale"].at[
+                i, batch_idx, :, cache_len].set(ks)
+            out_cache["v_scale"] = out_cache["v_scale"].at[
+                i, batch_idx, :, cache_len].set(vs)
+        else:
+            out_cache["k"] = out_cache["k"].at[i, batch_idx, :, cache_len].set(
+                k1[:, :, 0].astype(out_cache["k"].dtype))
+            out_cache["v"] = out_cache["v"].at[i, batch_idx, :, cache_len].set(
+                v1[:, :, 0].astype(out_cache["v"].dtype))
+        k_cache, v_cache = _cache_kv(out_cache, i, q.dtype)
         n_rep = cfg.num_heads // cfg.num_kv_heads
-        att = mha(q, _repeat_kv(k_cache.astype(q.dtype), n_rep),
-                  _repeat_kv(v_cache.astype(q.dtype), n_rep),
+        att = mha(q, _repeat_kv(k_cache, n_rep), _repeat_kv(v_cache, n_rep),
                   mask=key_mask[:, None, None, :], bias=bias)
         x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
         x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
     x = _norm(params["final_norm"], x, cfg)
-    return x, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return x, out_cache

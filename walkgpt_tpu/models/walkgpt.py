@@ -425,7 +425,8 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
                        attention_mask=attention_mask)
     res: GenerateResult = greedy_generate(
         params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
-        max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn)
+        max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
+        kv_quant=cfg.kv_quant_cache)
 
     # [SEG] over generated tokens; pred_hidden[t] predicted tokens[t], matching
     # the reference's position-1 indexing (model/walkgpt.py:653-671)

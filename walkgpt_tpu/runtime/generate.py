@@ -60,14 +60,16 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                     attention_mask: jnp.ndarray, *, max_new_tokens: int,
                     eos_id: int, pad_id: int = 0,
                     logits_mask: Optional[jnp.ndarray] = None,
-                    flash_fn=None) -> GenerateResult:
+                    flash_fn=None, kv_quant: bool = False) -> GenerateResult:
     """inputs_embeds: [B, T, H] right-padded prompt embeddings;
     attention_mask: [B, T] bool. logits_mask: optional [V] bool of allowed
-    tokens (True = allowed) applied at every step."""
+    tokens (True = allowed) applied at every step. kv_quant stores the KV
+    cache as int8 (per-row scales) to halve decode-time cache reads."""
     b, t, h = inputs_embeds.shape
     max_len = t + max_new_tokens
     cache_dtype = inputs_embeds.dtype
-    kv_cache = llm.init_kv_cache(cfg, b, max_len, dtype=cache_dtype)
+    kv_cache = llm.init_kv_cache(cfg, b, max_len, dtype=cache_dtype,
+                                 quant=kv_quant)
 
     # ---- prefill ----
     prefill_hidden, kv_cache = llm.forward(
