@@ -203,3 +203,104 @@ def test_vicuna_delta_roundtrip():
     for a, b in zip(jax.tree_util.tree_leaves(target),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_full_deepspeed_layout_state_dict():
+    """Fabricated FULL DeepSpeed/peft-layout state dict (module. +
+    base_model.model. nesting, LoRA adapters, resized embeddings with 9 extra
+    token rows, SAM + MSQP + CTP + tiny_xattn subtrees) through
+    convert_walkgpt_state + merge_lora + load_into — the exact key-mapping
+    path real mp_rank_00_model_states.pt checkpoints will take (VERDICT r1
+    Weak #9)."""
+    from walkgpt_tpu.core.config import tiny_config
+    from walkgpt_tpu.models import walkgpt
+
+    cfg = tiny_config()
+    rng = np.random.RandomState(0)
+    H = cfg.llm.hidden_size
+    V = cfg.llm.vocab_size             # "resized": init-time vocab incl. +9
+    I = cfg.llm.intermediate_size
+    sd = {}
+    pre = "module.base_model.model."
+
+    def put(name, shape):
+        sd[pre + name] = rng.randn(*shape).astype(np.float32)
+        return sd[pre + name]
+
+    emb = put("model.embed_tokens.weight", (V, H))
+    put("model.norm.weight", (H,))
+    lm_head = put("lm_head.weight", (V, H))
+    for i in range(cfg.llm.num_layers):
+        for nm in ("input_layernorm", "post_attention_layernorm"):
+            put(f"model.layers.{i}.{nm}.weight", (H,))
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            put(f"model.layers.{i}.self_attn.{proj}.weight", (H, H))
+        for proj, r in (("q_proj", 8), ("v_proj", 8)):
+            put(f"model.layers.{i}.self_attn.{proj}.lora_A.default.weight",
+                (r, H))
+            put(f"model.layers.{i}.self_attn.{proj}.lora_B.default.weight",
+                (H, r))
+        put(f"model.layers.{i}.mlp.gate_proj.weight", (I, H))
+        put(f"model.layers.{i}.mlp.up_proj.weight", (I, H))
+        put(f"model.layers.{i}.mlp.down_proj.weight", (H, I))
+    # task modules
+    put("model.text_hidden_fcs.0.net.0.weight", (H,))
+    put("model.text_hidden_fcs.0.net.0.bias", (H,))
+    put("model.text_hidden_fcs.0.net.1.weight", (2 * cfg.ctp.out_dim, H))
+    put("model.text_hidden_fcs.0.net.1.bias", (2 * cfg.ctp.out_dim,))
+    put("model.text_hidden_fcs.0.net.3.weight",
+        (cfg.ctp.out_dim, 2 * cfg.ctp.out_dim))
+    put("model.text_hidden_fcs.0.net.3.bias", (cfg.ctp.out_dim,))
+    put("model.text_hidden_fcs.0.net.4.weight", (cfg.ctp.out_dim,))
+    put("model.text_hidden_fcs.0.net.4.bias", (cfg.ctp.out_dim,))
+    put("model.text_hidden_fcs.0.text_type", (1, 1, cfg.ctp.out_dim))
+    put("model.text_hidden_fcs.0.log_temp", (1,))
+    d = cfg.msqp.sam_dim
+    for w in ("wq", "wk", "wv", "out"):
+        put(f"model.tiny_xattn.{w}.weight", (d, d))
+
+    converted = ck.convert_walkgpt_state(sd, cfg)
+    assert "llm" in converted and "ctp" in converted and "tiny_xattn" in converted
+    # LoRA extracted and attached
+    assert "lora_a" in converted["llm"]["layers"][0]["attn"]["q"]
+    merged = ck.merge_lora(converted["llm"])
+    assert "lora_a" not in merged["layers"][0]["attn"]["q"]
+    # merged weight = W^T + scale * A^T B^T
+    a = sd[pre + "model.layers.0.self_attn.q_proj.lora_A.default.weight"]
+    b = sd[pre + "model.layers.0.self_attn.q_proj.lora_B.default.weight"]
+    w = sd[pre + "model.layers.0.self_attn.q_proj.weight"]
+    want = w.T + (a.T @ b.T) * (16.0 / 8.0)
+    np.testing.assert_allclose(np.asarray(merged["layers"][0]["attn"]["q"]["w"]),
+                               want, rtol=1e-5, atol=1e-6)
+    # embeddings land verbatim (incl. the 9 resized rows)
+    np.testing.assert_array_equal(
+        np.asarray(converted["llm"]["embed_tokens"]["w"]), emb)
+    np.testing.assert_array_equal(
+        np.asarray(converted["llm"]["lm_head"]["w"]), lm_head.T)
+    # overlays cleanly onto an init tree
+    params = walkgpt.init(jax.random.PRNGKey(0), cfg)
+    loaded = ck.load_into(params, dict(converted, llm=merged))
+    np.testing.assert_allclose(
+        np.asarray(loaded["ctp"][0]["log_temp"]).reshape(-1),
+        sd[pre + "model.text_hidden_fcs.0.log_temp"], rtol=1e-6)
+
+
+def test_consolidate_roundtrip(tmp_path):
+    """consolidate(): torch-layout file -> canonical Orbax dir -> reload."""
+    import torch
+    from walkgpt_tpu.core.config import tiny_config
+    from walkgpt_tpu.models import walkgpt
+
+    cfg = tiny_config()
+    params = walkgpt.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(3)
+    H = cfg.llm.hidden_size
+    sd = {"model.embed_tokens.weight":
+          torch.from_numpy(rng.randn(cfg.llm.vocab_size, H).astype(np.float32))}
+    src = tmp_path / "mp_rank_00_model_states.pt"
+    torch.save({"module": sd}, src)
+    dst = tmp_path / "canonical"
+    tree = ck.consolidate(str(src), str(dst), cfg, init_params=params)
+    re = ck.load_orbax(str(dst), like=tree)
+    np.testing.assert_array_equal(np.asarray(re["llm"]["embed_tokens"]["w"]),
+                                  sd["model.embed_tokens.weight"].numpy())

@@ -82,3 +82,27 @@ def test_copy_is_deep():
     conv = conv_templates["llava_v1"].copy()
     conv.append_message("USER", "x")
     assert conv_templates["llava_v1"].messages == []
+
+
+def test_tuple_message_and_mmtag_paths():
+    """Gradio tuple-message preamble (conversation.py:31-45): mmtag versions
+    wrap the image in <Image></Image> with an ack turn; others prepend
+    '<image>\\n'."""
+    from walkgpt_tpu.data.conversation import conv_templates
+
+    conv = conv_templates["llava_v1"].copy()
+    conv.messages = []
+    conv.append_message(conv.roles[0], ("what is here? <image>", None, "Crop"))
+    conv.append_message(conv.roles[1], "an answer")
+    out = conv.get_prompt()
+    assert "<image>\nwhat is here?" in out
+    assert "<Image>" not in out
+
+    mm = conv_templates["v1_mmtag"].copy()
+    mm.messages = []
+    mm.append_message(mm.roles[0], ("what is here? <image>", None, "Crop"))
+    mm.append_message(mm.roles[1], "an answer")
+    out = mm.get_prompt()
+    assert "<Image><image></Image>" in out
+    assert "Received." in out
+    assert "what is here?" in out

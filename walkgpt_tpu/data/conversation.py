@@ -52,6 +52,21 @@ class Conversation:
 
     def get_prompt(self) -> str:
         messages = self.messages
+        # Gradio-style tuple first message (text, image, process_mode): the
+        # mmtag versions wrap the image in <Image></Image> with an ack turn,
+        # others prepend "<image>\n" (reference conversation.py:31-45).
+        if messages and isinstance(messages[0][1], tuple):
+            messages = list(messages)
+            init_role, init_msg = messages[0]
+            init_msg = init_msg[0].replace(DEFAULT_IMAGE_TOKEN, "").strip()
+            if "mmtag" in self.version:
+                messages[0] = (init_role, init_msg)
+                messages.insert(0, (self.roles[0], "<Image><image></Image>"))
+                messages.insert(1, (self.roles[1], "Received."))
+            else:
+                messages[0] = (init_role, DEFAULT_IMAGE_TOKEN + "\n" + init_msg)
+        messages = [(r, m[0] if isinstance(m, tuple) else m)
+                    for r, m in messages]
         if self.sep_style == SeparatorStyle.SINGLE:
             ret = self.system + self.sep
             for role, message in messages:

@@ -130,6 +130,24 @@ class SDReader:
         return sorted(set(self.sd) - self.used)
 
 
+class LenientReader(SDReader):
+    """Missing keys become None leaves (kept as the destination's init by
+    `load_into`/`_merge`) instead of raising — the reference's strict=False
+    load semantics (train_walkgpt.py:322-328, build_sam.py:107)."""
+
+    def sub(self, prefix: str) -> "LenientReader":
+        child = LenientReader(self.sd, self.prefix + prefix)
+        child.used = self.used
+        child.missing = self.missing
+        return child
+
+    def get(self, name: str, transform=None):
+        try:
+            return super().get(name, transform)
+        except _Missing:
+            return None
+
+
 def _merge(dst: Any, src: Any) -> Any:
     """Overlay converted arrays onto an existing (e.g. random-init) tree,
     keeping dtypes of the destination leaves."""
@@ -270,8 +288,9 @@ def convert_sam(sd: Dict[str, np.ndarray], *, depth: int = 32) -> Dict:
 # ---------------------------------------------------------------------------
 
 def convert_llama(sd: Dict[str, np.ndarray], *, num_layers: int,
-                  tie_embeddings: bool = False) -> Dict:
-    r = SDReader(strip_prefixes(sd))
+                  tie_embeddings: bool = False, lenient: bool = False) -> Dict:
+    reader_cls = LenientReader if lenient else SDReader
+    r = reader_cls(strip_prefixes(sd))
     m = r.sub("model.") if r.has("model.embed_tokens.weight") else r
     p: Dict = {
         "embed_tokens": {"w": m.get("embed_tokens.weight")},
@@ -473,7 +492,8 @@ def merge_lora(llm_params: Dict) -> Dict:
 # ---------------------------------------------------------------------------
 
 def convert_walkgpt_state(sd: Dict[str, np.ndarray], cfg, *,
-                          lora_alpha: float = 16.0) -> Dict:
+                          lora_alpha: float = 16.0,
+                          lenient: bool = False) -> Dict:
     """Full fine-tuned WalkGPT state dict -> our composed param tree.
 
     Reference key roots after prefix cleanup (model/walkgpt.py + llava):
@@ -493,7 +513,8 @@ def convert_walkgpt_state(sd: Dict[str, np.ndarray], cfg, *,
               if k.startswith(("model.embed_tokens", "model.layers",
                                "model.norm", "lm_head"))}
     out: Dict = {"llm": convert_llama(llm_sd, num_layers=cfg.llm.num_layers,
-                                      tie_embeddings=cfg.llm.tie_embeddings)}
+                                      tie_embeddings=cfg.llm.tie_embeddings,
+                                      lenient=lenient)}
     lora = extract_lora(flat, alpha=lora_alpha)
     if lora:
         out["llm"] = attach_lora(out["llm"], lora)
@@ -540,6 +561,26 @@ def make_delta(base: Dict, target: Dict) -> Dict:
         pad = jnp.zeros((t.shape[0] - b.shape[0], b.shape[1]), b.dtype)
         return t - jnp.concatenate([b, pad], axis=0)
     return jax.tree_util.tree_map(sub, base, target)
+
+
+def consolidate(src: str, dst: str, cfg, *, init_params: Optional[Dict] = None
+                ) -> Dict:
+    """Canonicalize any supported checkpoint layout into one Orbax checkpoint
+    (the TPU-native equivalent of model/llava_walkgpt/model/consolidate.py:
+    load + re-save_pretrained). Accepts an Orbax dir, a torch state-dict file
+    (mp_rank_00_model_states.pt / .bin / .safetensors), merges LoRA if
+    present, and writes a plain param tree."""
+    if os.path.isdir(src):
+        tree = load_orbax(src, like=init_params)
+    else:
+        sd = load_torch_state_dict(src)
+        tree = convert_walkgpt_state(sd, cfg, lenient=True)
+        if "llm" in tree:
+            tree["llm"] = merge_lora(tree["llm"])
+        if init_params is not None:
+            tree = load_into(init_params, tree)
+    save_orbax(dst, tree)
+    return tree
 
 
 def load_into(params: Dict, converted: Dict) -> Dict:
