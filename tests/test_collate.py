@@ -83,3 +83,65 @@ def test_collate_inference_no_truncation():
     s = make_sample(["q" * 500], "a", inference=True)
     batch = collate_batch([s], tok)
     assert batch["input_ids"].shape[1] > 45
+
+
+def make_sample_conv(conv_name, questions, answer, inference=False):
+    convs = []
+    for q in questions:
+        conv = conv_templates[conv_name].copy()
+        conv.messages = []
+        conv.append_message(conv.roles[0], f"<image>\n{q}")
+        conv.append_message(conv.roles[1], answer)
+        convs.append(conv.get_prompt())
+    return PAVESample(
+        image_path="/x.png",
+        image=np.zeros((64, 64, 3), np.float32),
+        image_clip=np.zeros((28, 28, 3), np.float32),
+        conversations=convs,
+        masks=np.zeros((1, 48, 64), np.float32),
+        label=np.zeros((48, 64), np.int32),
+        resize=(48, 64), clip_resize=(21, 28),
+        questions=(questions, [1], [["a"]], "cues"),
+        sampled_classes=[["3"]],
+        inference=inference,
+    )
+
+
+def test_collate_v1_stage1_masking():
+    """LLaVA stage-1 preprocess_v1 variant (train/train.py): conv 'v1'
+    (vicuna system prompt, TWO separators) masks everything up to and
+    including ' ASSISTANT: ' and supervises the answer."""
+    tok = ByteTokenizer(model_max_length=4096)
+    st = setup_walkgpt_tokens(tok)
+    answer = "a short caption [SEG]"
+    s = make_sample_conv("v1", ["describe"], answer)
+    batch = collate_batch([s], tok, conv_type="v1")
+    ids, labels = batch["input_ids"][0], batch["labels"][0]
+    seg_positions = np.where(ids == st.seg_token_idx)[0]
+    assert len(seg_positions) == 1
+    assert labels[seg_positions[0]] == st.seg_token_idx
+    assert labels[0] == IGNORE_INDEX and labels[1] == IGNORE_INDEX
+    # supervised region is exactly the assistant answer (+ eos)
+    sup = labels != IGNORE_INDEX
+    n_sup = int(sup.sum())
+    ans_ids = tok.encode(answer)
+    assert n_sup >= len([t for t in ans_ids])
+
+
+def test_collate_mpt_chatml_masking():
+    """LLaVA stage-1 preprocess_mpt/chatml variant: ###-separated chatml
+    rounds; the first (instruction) chunk is masked (reference
+    dataset.py:124-133 effective behavior)."""
+    tok = ByteTokenizer(model_max_length=4096)
+    st = setup_walkgpt_tokens(tok)
+    answer = "caption [SEG]"
+    s = make_sample_conv("chatml", ["describe"], answer)
+    batch = collate_batch([s], tok, conv_type="chatml")
+    ids, labels = batch["input_ids"][0], batch["labels"][0]
+    seg_positions = np.where(ids == st.seg_token_idx)[0]
+    assert len(seg_positions) == 1
+    assert labels[seg_positions[0]] == st.seg_token_idx
+    assert labels[0] == IGNORE_INDEX
+    # some prompt region masked, answer supervised
+    assert (labels == IGNORE_INDEX).sum() > 2
+    assert (labels != IGNORE_INDEX).sum() >= 3
