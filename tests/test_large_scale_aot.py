@@ -73,3 +73,36 @@ def test_13b_forward_lowering_tp8():
     # lowering succeeded: shardings/collectives are consistent at 13B/tp=8
     text = lowered.as_text()
     assert "sharding" in text
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_13b_layer_slice_executes_tp8():
+    """REAL tensors at 13B dimensions through the tp=8 mesh: one full decoder
+    layer (hidden 5120, intermediate 13824 — exact 13B shapes) runs forward
+    sharded and must match the unsharded computation. Upgrades the round-1
+    AOT-only lowering proof with executed 13B-scale collectives."""
+    from walkgpt_tpu.core.config import LLMConfig
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.parallel import sharding as shd
+
+    cfg = LLMConfig(vocab_size=1024, hidden_size=5120,
+                    intermediate_size=13824, num_layers=1, num_heads=40,
+                    num_kv_heads=40)
+    params = llm.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    mesh = shd.make_mesh(dp=1, tp=8)
+    p_specs = shd.param_pspecs(params, tp=8)
+    sharded = shd.shard_tree(params, mesh, p_specs)
+    # the layer weights really are distributed
+    qw = sharded["layers"][0]["attn"]["q"]["w"]
+    assert len(qw.sharding.device_set) == 8
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 5120), jnp.float32)
+
+    def fwd(p, x):
+        h, _ = llm.forward(p, cfg, x)
+        return h
+
+    ref = fwd(params, x)
+    got = jax.jit(fwd)(sharded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
