@@ -289,3 +289,44 @@ def test_depth_accuracy():
     depth.update("no block", {"bench": 1.0})
     r = depth.results()
     np.testing.assert_allclose(r["depth_block_rate"], 0.5)
+
+
+def test_ar_validate_cli_smoke(tmp_path):
+    """End-to-end ar_validate on real MultiReasonSeg-format data (fabricated
+    muse_val.json): Hungarian-matched eval through the jitted generate path,
+    out_file_{rank}.json artifact, full metric line."""
+    import cv2
+    import json as _json
+    from walkgpt_tpu.data import rle as rle_mod
+    from walkgpt_tpu.runtime.evaluate import main
+
+    cv2.imwrite(str(tmp_path / "m0.jpg"),
+                np.full((48, 48, 3), 128, np.uint8))
+    m = np.zeros((48, 48), np.uint8)
+    m[:16] = 1
+    items = [{
+        "image": "m0.jpg",
+        "question": "<image>\nWhat objects are here?",
+        "targets": [
+            {"name": "roof", "rle": {"size": [48, 48],
+                                     "counts": rle_mod.encode(m)["counts"]
+                                     .decode("ascii")}},
+            {"name": "door", "polygon": [[2, 20], [30, 20], [30, 40], [2, 40]]},
+        ],
+    }]
+    with open(tmp_path / "muse_val.json", "w") as f:
+        _json.dump(items, f)
+
+    res = main(["--val_dataset", "MultiReasonSeg|val",
+                "--dataset_dir", str(tmp_path),
+                "--model_size", "tiny", "--max_samples", "1",
+                "--max_new_tokens", "8", "--precision", "fp32",
+                "--no_console_text",
+                "--log_base_dir", str(tmp_path / "runs"),
+                "--exp_name", "ar_smoke"])
+    assert set(res) >= {"giou", "ciou", "ap50", "recall", "miou"}
+    out_file = tmp_path / "runs" / "ar_smoke" / "out_file_0.json"
+    records = _json.load(open(out_file))
+    assert len(records) == 1
+    assert records[0]["gt_count"] == 2
+    assert "answer" in records[0]
