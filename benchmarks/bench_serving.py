@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     import jax
@@ -70,8 +72,9 @@ def main():
     prompts = [list(map(int, rng.randint(3, cfg.vocab_size - 16,
                                          prompt_len)))
                for _ in range(n_req)]
+    budgets = [int(b) for b in rng.randint(max_new // 4, max_new + 1, n_req)]
     t0 = time.perf_counter()
-    finished = batcher.run(iter(prompts))
+    finished = batcher.run(iter(prompts), budgets=budgets)
     cb_dt = time.perf_counter() - t0
     n_tok = sum(len(f.tokens) for f in finished)
     cb_tok_s = n_tok / cb_dt

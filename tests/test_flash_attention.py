@@ -268,3 +268,33 @@ def test_sam_encoder_windowed_flash_parity():
     for a, b in zip(flat_f, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
                                    atol=5e-4)
+
+
+def test_flash_bwd_fully_masked_row_bounded():
+    """A batch row whose key_valid is ALL False must produce bounded (uniform
+    1/M-probability) gradients, not the unnormalized p~1 garbage of
+    exp(NEG_INF - NEG_INF) per position (code-review r2 finding)."""
+    b, h, n, d = 2, 1, 32, 8
+    q, k, v = rand(b, h, n, d, seed=80), rand(b, h, n, d, seed=81), \
+        rand(b, h, n, d, seed=82)
+    kvalid = np.ones((b, n), bool)
+    kvalid[1, :] = False                      # fully masked row
+    kvalid_j = jnp.asarray(kvalid)
+    g_out = rand(b, h, n, d, seed=83)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, False, 16, 16,
+                                key_valid=kvalid_j) * g_out).sum()
+
+    def loss_ref(q, k, v):
+        return (mha(q, k, v, mask=kvalid_j[:, None, None, :]) * g_out).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    # masked-row grads must stay bounded like the reference's uniform softmax
+    for name, a, bb in zip("qkv", gf, gr):
+        assert float(jnp.abs(a).max()) < 10.0, f"d{name} blew up"
+    # the valid row's grads still match exactly
+    for name, a, bb in zip("qkv", gf, gr):
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(bb[0]),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"d{name}")

@@ -36,31 +36,67 @@ class _End:
 _END = _End()
 
 
-def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
-    """Iterate `iterable` with a background producer thread keeping up to
-    `depth` items ready. Exceptions in the producer re-raise at the consumer's
-    next pull; the thread is a daemon so abandoned iterators don't hang exit."""
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
-    err: list = []
+class Prefetcher:
+    """Iterator over `iterable` with a background producer thread keeping up
+    to `depth` items ready. Exceptions in the producer re-raise at the
+    consumer's next pull. `close()` stops the producer promptly (it checks the
+    stop flag between bounded puts) and drops buffered items, so abandoning a
+    stream mid-epoch (e.g. --max_steps break) doesn't pin prepared batches in
+    memory; the thread is also a daemon so exit never hangs."""
 
-    def produce():
+    def __init__(self, iterable: Iterable, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._err: list = []
+        self._stop = threading.Event()
+        self._it = iter(iterable)
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
         try:
-            for item in iterable:
-                q.put(item)
-        except BaseException as e:       # noqa: BLE001 — re-raised at consumer
-            err.append(e)
+            for item in self._it:
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+        except BaseException as e:   # noqa: BLE001 — re-raised at consumer
+            self._err.append(e)
         finally:
-            q.put(_END)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
-    t = threading.Thread(target=produce, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
+    def close(self):
+        self._stop.set()
+        while True:                    # drop buffered items
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
+        item = self._q.get()
         if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+            if self._err:
+                raise self._err[0]
+            raise StopIteration
+        return item
+
+
+def prefetch(iterable: Iterable, depth: int = 2) -> Prefetcher:
+    return Prefetcher(iterable, depth=depth)
 
 
 def prefetch_map(fn: Callable[[int], object], indices: Sequence[int],

@@ -173,7 +173,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, kvalid_ref,
             k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             mask = mask & (k_pos <= q_pos)
         s = jnp.where(mask, s, NEG_INF)
-        p = jnp.exp(s - lse)                        # [bq, bk]
+        # explicit zero at masked positions: for a fully-masked row s and lse
+        # are both ~NEG_INF, so exp(s - lse) would be ~1, not 0
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)   # [bq, bk]
         dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
@@ -215,7 +217,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, kvalid_ref,
             q_pos = jq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             mask = mask & (k_pos <= q_pos)
         s = jnp.where(mask, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        # see _dq_kernel: masked positions must be exactly 0
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dv_new = dv_acc + jax.lax.dot_general(
             p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),

@@ -470,7 +470,9 @@ def merge_lora(llm_params: Dict) -> Dict:
     adapter leaves — the pure-JAX equivalent of peft merge_and_unload()
     (merge_lora_weights_and_save_hf_model.py §3.4 intent)."""
     def merge_proj(proj):
-        if "lora_a" not in proj:
+        if "lora_a" not in proj or proj.get("w") is None:
+            # None base = lenient-converted adapter-only checkpoint; keep the
+            # adapter unmerged so load_into can overlay it onto real weights
             return proj
         w = proj["w"] + (proj["lora_a"] @ proj["lora_b"]
                          ) * proj.get("lora_scale", 1.0)
@@ -579,8 +581,24 @@ def consolidate(src: str, dst: str, cfg, *, init_params: Optional[Dict] = None
             tree["llm"] = merge_lora(tree["llm"])
         if init_params is not None:
             tree = load_into(init_params, tree)
+        else:
+            missing = [_path_of(p) for p, leaf in
+                       jax.tree_util.tree_leaves_with_path(
+                           tree, is_leaf=lambda x: x is None)
+                       if leaf is None]
+            if missing:
+                raise ValueError(
+                    f"source checkpoint is partial ({len(missing)} missing "
+                    f"leaves, e.g. {missing[:3]}); pass init_params "
+                    f"(CLI: --with_init) to fill the holes before "
+                    f"consolidating")
     save_orbax(dst, tree)
     return tree
+
+
+def _path_of(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path)
 
 
 def load_into(params: Dict, converted: Dict) -> Dict:

@@ -134,6 +134,17 @@ def _question_prompts(batch, conv_type: str, use_mm_start_end: bool):
     return prompts, questions
 
 
+def _pad_prompt_rows(rows, pad_id: int, multiple: int = 64) -> np.ndarray:
+    """Right-pad tokenized prompt rows into one [R, T] matrix with T rounded
+    up to `multiple` — x64 length buckets keep the jit cache small."""
+    t = max(len(r) for r in rows)
+    t_pad = ((t + multiple - 1) // multiple) * multiple
+    ids = np.full((len(rows), t_pad), pad_id, np.int64)
+    for j, r in enumerate(rows):
+        ids[j, :len(r)] = r
+    return ids
+
+
 def decode_answer(tokenizer, token_row: np.ndarray, length: int) -> str:
     ids = [int(t) for t in token_row[:length]]
     while ids and ids[-1] in {tokenizer.eos_token_id, tokenizer.pad_token_id}:
@@ -227,13 +238,7 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
                                                args.use_mm_start_end)
         rows = [tokenizer_image_token(p, tokenizer, return_np=True)
                 for p in prompts]
-        t = max(len(r) for r in rows)
-        ids = np.full((len(rows), t), tokenizer.pad_token_id, np.int64)
-        for j, r in enumerate(rows):
-            ids[j, :len(r)] = r
-        t_pad = ((ids.shape[1] + 63) // 64) * 64
-        ids_p = np.full((ids.shape[0], t_pad), tokenizer.pad_token_id, np.int64)
-        ids_p[:, : ids.shape[1]] = ids
+        ids_p = _pad_prompt_rows(rows, tokenizer.pad_token_id)
         ev = gen_cache(args.max_new_tokens, db.max_segs,
                        tokenizer.eos_token_id)(
             params, jnp.asarray(db.images), jnp.asarray(ids_p),
@@ -311,13 +316,7 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
                                                args.use_mm_start_end)
         rows = [tokenizer_image_token(p, tokenizer, return_np=True)
                 for p in prompts]
-        t = max(len(r) for r in rows)
-        # x64 length buckets -> the same jitted program serves the dataset
-        # (eager generate_and_segment dispatch is 10-100x slower on this link)
-        t_pad = ((t + 63) // 64) * 64
-        ids = np.full((len(rows), t_pad), tokenizer.pad_token_id, np.int64)
-        for j, r in enumerate(rows):
-            ids[j, :len(r)] = r
+        ids = _pad_prompt_rows(rows, tokenizer.pad_token_id)
         ev = gen_cache(args.max_new_tokens, db.max_segs,
                        tokenizer.eos_token_id)(
             params, jnp.asarray(db.images), jnp.asarray(ids),

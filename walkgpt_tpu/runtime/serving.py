@@ -138,14 +138,22 @@ class ContinuousBatcher:
         mask[0, : len(ids)] = True
         return jnp.asarray(arr), jnp.asarray(mask)
 
-    def run(self, prompts: Iterator[Sequence[int]]) -> List[Finished]:
+    def run(self, prompts: Iterator[Sequence[int]],
+            budgets: Optional[Sequence[int]] = None) -> List[Finished]:
         """Decode every prompt (token-id sequences); returns Finished records
-        in completion order."""
+        in completion order. `budgets` optionally caps each request's
+        generated tokens individually (default: max_new_tokens for all) —
+        variable budgets model variable answer lengths, the regime where slot
+        refill beats wave decode."""
         cfg = self.cfg
         prompts = list(prompts)
         n_req = len(prompts)
         if n_req == 0:
             return []
+        if budgets is None:
+            budgets = [self.N] * n_req
+        budgets = [min(int(b), self.N) for b in budgets]
+        assert len(budgets) == n_req
 
         pool_k = jnp.zeros((cfg.num_layers, self.B, cfg.num_kv_heads,
                             self.max_len, cfg.head_dim), self.dtype)
@@ -188,10 +196,11 @@ class ContinuousBatcher:
                     continue
                 slot_tokens[b].extend(int(t) for t, v in
                                       zip(toks_h[b], valid_h[b]) if v)
-                over_budget = len(slot_tokens[b]) >= self.N
+                budget = budgets[slot_req[b]]
+                over_budget = len(slot_tokens[b]) >= budget
                 if done_h[b] or over_budget:
                     finished.append(Finished(slot_req[b],
-                                             slot_tokens[b][: self.N]))
+                                             slot_tokens[b][: budget]))
                     slot_req[b] = -1
                     done = done.at[b].set(True)
                     if next_req < n_req:

@@ -213,9 +213,9 @@ def main(argv=None):
         # 2-deep background prefetch: host collate/preprocess of the next
         # batches overlaps the device step (data_time then measures only the
         # residual wait, like the reference's DataLoader data_time meter)
-        batches = iter(prefetch(
+        batches = prefetch(
             (make_batch(rng.randint(0, len(dataset), args.batch_size))
-             for _ in range(args.steps_per_epoch)), depth=2))
+             for _ in range(args.steps_per_epoch)), depth=2)
         for it in range(args.steps_per_epoch):
             t0 = time.time()
             batch = next(batches)
@@ -243,6 +243,9 @@ def main(argv=None):
                       f"loss {loss:.4f} ({batch_time.val:.2f}s/it)")
             if 0 <= args.max_steps <= global_step:
                 break
+        # stop the producer and drop its buffered batches (an early
+        # --max_steps break would otherwise leave them pinned in memory)
+        batches.close()
         writer.add_scalar("metrics/epoch_time_sec", time.time() - epoch_t0,
                           epoch)
 
