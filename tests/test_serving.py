@@ -60,3 +60,24 @@ def test_continuous_batcher_empty(model):
     batcher = ContinuousBatcher(params, cfg, batch_size=2, prompt_len=8,
                                 max_new_tokens=4)
     assert batcher.run(iter([])) == []
+
+
+def test_batcher_per_request_budgets():
+    """Variable answer lengths: each request stops at its own budget and the
+    slot is refilled for the next request."""
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.runtime.serving import ContinuousBatcher
+
+    params = llm.init(jax.random.PRNGKey(2), LLAMA_TINY)
+    batcher = ContinuousBatcher(params, LLAMA_TINY, batch_size=2,
+                                prompt_len=16, max_new_tokens=12, segment=4,
+                                eos_id=2)
+    rng = np.random.RandomState(0)
+    prompts = [list(map(int, rng.randint(3, 500, 10))) for _ in range(4)]
+    budgets = [3, 12, 5, 7]
+    finished = batcher.run(iter(prompts), budgets=budgets)
+    assert sorted(f.request_id for f in finished) == [0, 1, 2, 3]
+    by_id = {f.request_id: f.tokens for f in finished}
+    for rid, budget in enumerate(budgets):
+        assert len(by_id[rid]) <= budget
