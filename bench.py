@@ -95,6 +95,7 @@ def main():
     # alternate stream — no reason to hold its weights in HBM here.
     import dataclasses
     cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True,
+                              fast_gelu=True,
                               kv_quant_cache=os.environ.get("BENCH_KV") == "int8")
 
     dtype = jnp.bfloat16

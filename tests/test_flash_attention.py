@@ -298,3 +298,46 @@ def test_flash_bwd_fully_masked_row_bounded():
     for name, a, bb in zip("qkv", gf, gr):
         np.testing.assert_allclose(np.asarray(a[0]), np.asarray(bb[0]),
                                    rtol=2e-4, atol=2e-5, err_msg=f"d{name}")
+
+
+def test_sam_window_attention_packed_matches_split():
+    """Packed-layout kernel (unsplit qkv + packed rel) == split-layout kernel,
+    forward and gradients."""
+    from walkgpt_tpu.ops.flash_attention import (sam_window_attention,
+                                                 sam_window_attention_packed)
+    ws, d, h = 4, 16, 3
+    t = ws * ws
+    bw = 2
+    c = h * d
+    qkv = rand(bw, t, 3 * c, seed=80)
+    rel = rand(bw, t, 2 * h * ws, seed=81)
+    g_out = rand(bw, t, c, seed=82)
+
+    def split(x):                       # [bw, t, h*d] -> [bw, h, t, d]
+        return x.reshape(bw, t, h, d).transpose(0, 2, 1, 3)
+
+    q, k, v = (split(qkv[:, :, i * c:(i + 1) * c]) for i in range(3))
+    rh = rel[:, :, :h * ws].reshape(bw, t, h, ws).transpose(0, 2, 1, 3)
+    rw = rel[:, :, h * ws:].reshape(bw, t, h, ws).transpose(0, 2, 1, 3)
+
+    got = sam_window_attention_packed(qkv, rel, h, d, ws)
+    ref = sam_window_attention(q, k, v, rh, rw, ws)
+    ref_merged = ref.transpose(0, 2, 1, 3).reshape(bw, t, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_merged),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_packed(qkv, rel):
+        return (sam_window_attention_packed(qkv, rel, h, d, ws) * g_out).sum()
+
+    def loss_split(qkv, rel):
+        q, k, v = (split(qkv[:, :, i * c:(i + 1) * c]) for i in range(3))
+        rh = rel[:, :, :h * ws].reshape(bw, t, h, ws).transpose(0, 2, 1, 3)
+        rw = rel[:, :, h * ws:].reshape(bw, t, h, ws).transpose(0, 2, 1, 3)
+        out = sam_window_attention(q, k, v, rh, rw, ws)
+        return (out.transpose(0, 2, 1, 3).reshape(bw, t, c) * g_out).sum()
+
+    gp = jax.grad(loss_packed, argnums=(0, 1))(qkv, rel)
+    gs = jax.grad(loss_split, argnums=(0, 1))(qkv, rel)
+    for name, a, b in zip(["qkv", "rel"], gp, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"d{name}")

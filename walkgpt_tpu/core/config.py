@@ -220,6 +220,9 @@ class WalkGPTConfig:
     # only): ~13% faster SAM-H encode at small bf16 feature drift. Off for
     # fidelity-exact runs; bench/serving enable it.
     fast_windowed_attention: bool = False
+    # tanh-approximate GELU in the SAM encoder MLPs (~3e-3 bf16 drift; the
+    # erf chain costs ~5 ms/block at batch 16 on v5e). Same opt-in policy.
+    fast_gelu: bool = False
     # int8 KV cache (per-row scales): halves decode-time cache HBM reads.
     kv_quant_cache: bool = False
 

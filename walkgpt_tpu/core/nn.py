@@ -248,6 +248,13 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def gelu_tanh(x):
+    """Tanh-approximate GELU. ~3e-3 max abs drift vs erf in bf16 but far
+    cheaper on the VPU (the erf chain costs ~5 ms per SAM-H block at batch
+    16 on v5e); the encoder's fast path opts in via fast_gelu."""
+    return jax.nn.gelu(x, approximate=True)
+
+
 def count_params(tree) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree)
                if hasattr(x, "size"))

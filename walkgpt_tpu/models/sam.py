@@ -64,10 +64,12 @@ def init(key, cfg: SamConfig, dtype=jnp.float32):
 
 def encode_image(params, cfg: SamConfig, images: jnp.ndarray, *,
                  use_flash: bool = False,
-                 fast_windowed: bool = False) -> jnp.ndarray:
+                 fast_windowed: bool = False,
+                 fast_gelu: bool = False) -> jnp.ndarray:
     """[B, S, S, 3] -> [B, grid, grid, 256] NHWC."""
     return sam_encoder.apply(params["image_encoder"], cfg.encoder, images,
-                             use_flash=use_flash, fast_windowed=fast_windowed)
+                             use_flash=use_flash, fast_windowed=fast_windowed,
+                             fast_gelu=fast_gelu)
 
 
 def decode_masks(params, cfg: SamConfig, image_embeddings: jnp.ndarray, *,

@@ -76,6 +76,24 @@ def _rel_projections(q, rel_pos_h, rel_pos_w, h, w):
     return rel_h.reshape(b, nh, h * w, h), rel_w.reshape(b, nh, h * w, w)
 
 
+def _rel_projections_packed(q_flat, rel_pos_h, rel_pos_w, ws, num_heads):
+    """Rel-pos projections from the UNSPLIT q ([BW, T, H*D]) into the packed
+    layout the fused window kernel consumes: [BW, T, 2*H*ws], lanes
+    [h*ws:(h+1)*ws] = rel_h of head h, [(H+h)*ws:...] = rel_w. bf16 matmuls
+    with fp32 MXU accumulation — same values as the fp32 einsum path up to
+    the (identical) bf16 rounding of the inputs."""
+    from ..ops.attention import get_rel_pos
+    rh = get_rel_pos(ws, ws, rel_pos_h).astype(q_flat.dtype)    # [ws, ws, D]
+    rw = get_rel_pos(ws, ws, rel_pos_w).astype(q_flat.dtype)
+    bw, t, c = q_flat.shape
+    d = c // num_heads
+    r_q = q_flat.reshape(bw, ws, ws, num_heads, d)
+    rel_h = jnp.einsum("bxynd,xkd->bxynk", r_q, rh)             # [bw,x,y,H,ws]
+    rel_w = jnp.einsum("bxynd,ykd->bxynk", r_q, rw)
+    return jnp.concatenate([rel_h.reshape(bw, t, num_heads * ws),
+                            rel_w.reshape(bw, t, num_heads * ws)], axis=-1)
+
+
 def _attention(p, x: jnp.ndarray, num_heads: int, use_rel_pos: bool,
                use_flash: bool, fast: bool = False,
                windowed: bool = False) -> jnp.ndarray:
@@ -87,16 +105,19 @@ def _attention(p, x: jnp.ndarray, num_heads: int, use_rel_pos: bool,
     production bf16 inference enables it via SAMEncoderConfig/bench."""
     import math
     b, h, w, c = x.shape
+    if use_flash and use_rel_pos and windowed:
+        # fused whole-window kernel over the PACKED layout: qkv stays unsplit
+        # (no split/merge-head HBM transposes), logits/bias live only in VMEM
+        from ..ops.flash_attention import sam_window_attention_packed
+        qkv = nn.linear(p["qkv"], x.reshape(b, h * w, c))
+        rel = _rel_projections_packed(qkv[:, :, :c], p["rel_pos_h"],
+                                      p["rel_pos_w"], h, num_heads)
+        out = sam_window_attention_packed(qkv, rel, num_heads, c // num_heads, h)
+        return nn.linear(p["proj"], out).reshape(b, h, w, c)
     qkv = nn.linear(p["qkv"], x.reshape(b, h * w, c))
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
-    if use_flash and use_rel_pos and windowed:
-        # fused whole-window kernel: logits/bias live only in VMEM
-        from ..ops.flash_attention import sam_window_attention
-        rel_h, rel_w = _rel_projections(q, p["rel_pos_h"], p["rel_pos_w"], h, w)
-        out = sam_window_attention(q, k, v, rel_h.astype(q.dtype),
-                                   rel_w.astype(q.dtype), h)
-    elif use_flash and use_rel_pos:
+    if use_flash and use_rel_pos:
         from ..ops.flash_attention import sam_flash_attention
         rel_h, rel_w = _rel_projections(q, p["rel_pos_h"], p["rel_pos_w"], h, w)
         out = sam_flash_attention(q, k, v, rel_h.astype(q.dtype),
@@ -127,7 +148,8 @@ def _attention(p, x: jnp.ndarray, num_heads: int, use_rel_pos: bool,
 
 
 def _block(p, x: jnp.ndarray, cfg: SAMEncoderConfig, window: int,
-           use_flash: bool, fast_windowed: bool = False) -> jnp.ndarray:
+           use_flash: bool, fast_windowed: bool = False,
+           fast_gelu: bool = False) -> jnp.ndarray:
     shortcut = x
     x = nn.layer_norm(p["ln1"], x)
     if window > 0:
@@ -141,12 +163,13 @@ def _block(p, x: jnp.ndarray, cfg: SAMEncoderConfig, window: int,
     else:
         x = _attention(p, x, cfg.num_heads, cfg.use_rel_pos, use_flash=use_flash)
     x = shortcut + x
-    return x + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], x), act=nn.gelu_exact)
+    act = nn.gelu_tanh if fast_gelu else nn.gelu_exact
+    return x + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], x), act=act)
 
 
 def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray, *,
           use_flash: bool = False, remat: bool = False,
-          fast_windowed: bool = False) -> jnp.ndarray:
+          fast_windowed: bool = False, fast_gelu: bool = False) -> jnp.ndarray:
     """images: [B, img, img, 3] NHWC (already normalized/padded).
     Returns [B, grid, grid, out_chans] NHWC feature maps. remat=True
     rematerializes each block under grad (memory <-> FLOPs trade)."""
@@ -159,8 +182,8 @@ def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray, *,
         if remat:
             block_fn = jax.checkpoint(
                 _block, policy=jax.checkpoint_policies.nothing_saveable,
-                static_argnums=(2, 3, 4, 5))
-        x = block_fn(blk, x, cfg, window, use_flash, fast_windowed)
+                static_argnums=(2, 3, 4, 5, 6))
+        x = block_fn(blk, x, cfg, window, use_flash, fast_windowed, fast_gelu)
     # neck in fp32 to mirror the reference's overflow guard (image_encoder.py:118-124)
     n = params["neck"]
     y = x.astype(jnp.float32)

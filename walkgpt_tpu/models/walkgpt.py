@@ -79,7 +79,8 @@ def encode_sam(params, cfg: WalkGPTConfig, images: jnp.ndarray
     """images [B, S, S, 3] -> (feature maps [B, g, g, C], tokens [B, g*g, C])."""
     feats = sam.encode_image(params["sam"], sam_config(cfg), images,
                              use_flash=cfg.use_flash_attention,
-                             fast_windowed=cfg.fast_windowed_attention)
+                             fast_windowed=cfg.fast_windowed_attention,
+                             fast_gelu=cfg.fast_gelu)
     b, g1, g2, c = feats.shape
     return feats, feats.reshape(b, g1 * g2, c)
 

@@ -917,3 +917,173 @@ def _win_vjp_bwd(window, res, g):
 
 
 sam_window_attention.defvjp(_win_vjp_fwd, _win_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout windowed attention (production path)
+# ---------------------------------------------------------------------------
+#
+# Same math as sam_window_attention, different data layout: the kernel consumes
+# the qkv projection UNSPLIT ([BW, T, 3*H*D]) and the rel-pos projections
+# packed per head ([BW, T, 2*H*ws]), and emits merged heads ([BW, T, H*D]).
+# Head extraction happens in VMEM via lane slices. This removes the
+# split_heads/merge_heads HBM transposes around the kernel (~8 ms/block at
+# batch 16 on v5e) that dominated the split-layout path, and the tiny-row
+# (160 B / 28 B) DMAs of the per-head operands.
+
+WINDOW_PACKED_GROUP = 1
+
+
+def _win_packed_fwd_kernel(qkv_ref, rel_ref, o_ref, lse_ref, *, h: int,
+                           d: int, ws: int, scale: float):
+    wg, t, _ = qkv_ref.shape
+    c = h * d
+    e_r, e_w = _win_expansions(ws, t)
+    for hh in range(h):
+        q = qkv_ref[:, :, hh * d:(hh + 1) * d]
+        k = qkv_ref[:, :, c + hh * d:c + (hh + 1) * d]
+        v = qkv_ref[:, :, 2 * c + hh * d:2 * c + (hh + 1) * d]
+        rh = rel_ref[:, :, hh * ws:(hh + 1) * ws]
+        rw = rel_ref[:, :, (h + hh) * ws:(h + hh + 1) * ws]
+        s = jax.lax.dot_general(q * jnp.asarray(scale, q.dtype), k,
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + _win_bias(rh, rw, e_r, e_w, wg, t, ws)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, hh * d:(hh + 1) * d] = (o / jnp.maximum(l, 1e-30)
+                                            ).astype(o_ref.dtype)
+        lse_ref[:, :, hh:hh + 1] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _win_packed_bwd_kernel(qkv_ref, rel_ref, g_ref, lse_ref, delta_ref,
+                           dqkv_ref, drel_ref, *, h: int, d: int, ws: int,
+                           scale: float):
+    wg, t, _ = qkv_ref.shape
+    c = h * d
+    e_r, e_w = _win_expansions(ws, t)
+    for hh in range(h):
+        q = qkv_ref[:, :, hh * d:(hh + 1) * d].astype(jnp.float32)
+        k = qkv_ref[:, :, c + hh * d:c + (hh + 1) * d].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * c + hh * d:2 * c + (hh + 1) * d].astype(jnp.float32)
+        rh = rel_ref[:, :, hh * ws:(hh + 1) * ws]
+        rw = rel_ref[:, :, (h + hh) * ws:(h + hh + 1) * ws]
+        g = g_ref[:, :, hh * d:(hh + 1) * d].astype(jnp.float32)
+        lse = lse_ref[:, :, hh:hh + 1].astype(jnp.float32)
+        delta = delta_ref[:, :, hh:hh + 1].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + _win_bias(rh, rw, e_r, e_w, wg, t, ws)
+        p = jnp.exp(s - lse)
+        dv = jax.lax.dot_general(p, g, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)                                   # [WG, T, T]
+        dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds2 = ds.reshape(wg * t, t)
+        drh = jax.lax.dot_general(ds2, e_r, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        drw = jax.lax.dot_general(ds2, e_w, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dqkv_ref[:, :, hh * d:(hh + 1) * d] = (dq * scale).astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + hh * d:c + (hh + 1) * d] = \
+            (dk * scale).astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + hh * d:2 * c + (hh + 1) * d] = \
+            dv.astype(dqkv_ref.dtype)
+        drel_ref[:, :, hh * ws:(hh + 1) * ws] = \
+            drh.reshape(wg, t, ws).astype(drel_ref.dtype)
+        drel_ref[:, :, (h + hh) * ws:(h + hh + 1) * ws] = \
+            drw.reshape(wg, t, ws).astype(drel_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def sam_window_attention_packed(qkv, rel, num_heads: int, head_dim: int,
+                                window: int):
+    """Fused windowed attention over the packed layout.
+
+    qkv: [BW, T, 3*H*D] — the qkv projection of windowed tokens, unsplit
+    (BW = batch*num_windows, T = window²); rel: [BW, T, 2*H*window] with
+    lanes [h*ws:(h+1)*ws] = rel_h of head h and [(H+h)*ws:...] = rel_w.
+    Returns merged-head output [BW, T, H*D]. Identical numerics to
+    sam_window_attention (image_encoder.py:321-392 semantics); the layout
+    avoids split/merge-head HBM transposes entirely."""
+    out, _ = _win_packed_impl(qkv, rel, num_heads, head_dim, window)
+    return out
+
+
+def _win_packed_impl(qkv, rel, h, d, ws):
+    bw, t, _ = qkv.shape
+    assert t == ws * ws and qkv.shape[-1] == 3 * h * d
+    wg = WINDOW_PACKED_GROUP
+    while bw % wg:
+        wg //= 2
+    blk = lambda i: (i, 0, 0)
+    out, lse = pl.pallas_call(
+        functools.partial(_win_packed_fwd_kernel, h=h, d=d, ws=ws,
+                          scale=1.0 / math.sqrt(d)),
+        grid=(bw // wg,),
+        in_specs=[
+            pl.BlockSpec((wg, t, 3 * h * d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, 2 * h * ws), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((wg, t, h * d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, h), blk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bw, t, h * d), qkv.dtype),
+            jax.ShapeDtypeStruct((bw, t, h), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(qkv, rel)
+    return out, lse
+
+
+def _win_packed_vjp_fwd(qkv, rel, h, d, ws):
+    out, lse = _win_packed_impl(qkv, rel, h, d, ws)
+    return out, (qkv, rel, out, lse)
+
+
+def _win_packed_vjp_bwd(h, d, ws, res, g):
+    qkv, rel, out, lse = res
+    bw, t, _ = qkv.shape
+    wg = WINDOW_PACKED_GROUP
+    while bw % wg:
+        wg //= 2
+    # delta[b, t, h] = rowsum over D of dO_h * O_h
+    delta = jnp.sum((g.astype(jnp.float32) * out.astype(jnp.float32)
+                     ).reshape(bw, t, h, d), axis=-1)
+    blk = lambda i: (i, 0, 0)
+    dqkv, drel = pl.pallas_call(
+        functools.partial(_win_packed_bwd_kernel, h=h, d=d, ws=ws,
+                          scale=1.0 / math.sqrt(d)),
+        grid=(bw // wg,),
+        in_specs=[
+            pl.BlockSpec((wg, t, 3 * h * d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, 2 * h * ws), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, h * d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, h), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, h), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((wg, t, 3 * h * d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wg, t, 2 * h * ws), blk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bw, t, 3 * h * d), qkv.dtype),
+            jax.ShapeDtypeStruct((bw, t, 2 * h * ws), rel.dtype),
+        ),
+        interpret=_interpret(),
+    )(qkv, rel, g, lse, delta)
+    return dqkv, drel
+
+
+sam_window_attention_packed.defvjp(_win_packed_vjp_fwd, _win_packed_vjp_bwd)
