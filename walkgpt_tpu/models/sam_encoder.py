@@ -65,14 +65,17 @@ def init(key, cfg: SAMEncoderConfig, dtype=jnp.float32):
 
 
 def _rel_projections(q, rel_pos_h, rel_pos_w, h, w):
-    """Per-axis rel-pos projections: ([B,Hd,N,kh], [B,Hd,N,kw]) fp32."""
+    """Per-axis rel-pos projections: ([B,Hd,N,kh], [B,Hd,N,kw]) in q's dtype
+    (bf16 matmuls accumulate fp32 on the MXU, so the values match the old
+    fp32-materialized einsum after its own bf16 downcast — without writing
+    the fp32 intermediates to HBM, ~2 GB/global-block at batch 16)."""
     from ..ops.attention import get_rel_pos
-    rh = get_rel_pos(h, h, rel_pos_h)
-    rw = get_rel_pos(w, w, rel_pos_w)
+    rh = get_rel_pos(h, h, rel_pos_h).astype(q.dtype)
+    rw = get_rel_pos(w, w, rel_pos_w).astype(q.dtype)
     b, nh, _, d = q.shape
-    r_q = q.reshape(b, nh, h, w, d).astype(jnp.float32)
-    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", r_q, rh.astype(jnp.float32))
-    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, rw.astype(jnp.float32))
+    r_q = q.reshape(b, nh, h, w, d)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", r_q, rh)
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, rw)
     return rel_h.reshape(b, nh, h * w, h), rel_w.reshape(b, nh, h * w, w)
 
 

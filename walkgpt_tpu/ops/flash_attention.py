@@ -369,30 +369,30 @@ flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 def _sam_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, lse_ref, *,
-                    bk: int, kw: int, scale: float, m_valid: int):
-    """q_ref: [bq, D]; k/v: [M, D]; relh_ref: [num_kb, bq, rows_per_block]
-    (key-block-major so the per-block slice indexes a leading dim);
-    relw_ref: [bq, KW]. Key index kk maps to grid cell (kk//kw, kk%kw);
-    bias[qq, kk] = rel_h[qq, kk//kw] + rel_w[qq, kk%kw]. bk % kw == 0.
+                    bk: int, kw: int, gh: int, scale: float, m_valid: int):
+    """q_ref: [bq, D]; k/v: [M, D]; relh_ref: [bq, GH] (full-width per-q
+    projections onto the GH key-grid rows); relw_ref: [bq, KW]. Key index kk
+    maps to grid cell (kk//kw, kk%kw); bias[qq, kk] = rel_h[qq, kk//kw]
+    + rel_w[qq, kk%kw]. bk % kw == 0.
 
-    The [bq, bk] bias tile is built with two constant expansion matmuls
-    (rh @ E_r + rw @ E_w) — no lane-dim reshapes or slices, Mosaic-friendly."""
+    The [bq, bk] bias tile is built with two expansion matmuls (rh @ E_r +
+    rw @ E_w); E_r for key block jk selects that block's grid rows and is
+    built from iotas in-register — rel_h needs no key-block-major relayout
+    in HBM (whose 16 B rows dominated this kernel's DMA time)."""
     bq, d = q_ref.shape
     m_tot = k_ref.shape[0]
-    rpb = bk // kw
 
     q = q_ref[:].astype(jnp.float32)
     relw = relw_ref[:].astype(jnp.float32)
+    relh = relh_ref[:].astype(jnp.float32)                    # [bq, GH]
 
-    # constant expansion matrices (compile-time)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 0)
-    e_r = (col // kw == row).astype(jnp.float32)              # [rpb, bk]
     colw = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 1)
     roww = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 0)
     e_w = (colw % kw == roww).astype(jnp.float32)             # [kw, bk]
     bias_w = jax.lax.dot_general(relw, e_w, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 0)
+    ksel0 = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 1)
 
     def body(jk, carry):
         m_i, l_i, acc = carry
@@ -400,9 +400,9 @@ def _sam_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, lse_ref, *,
         v = v_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
         s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        rh = relh_ref[jk].astype(jnp.float32)                 # [bq, rpb]
+        e_r = (rsel == (jk * bk + ksel0) // kw).astype(jnp.float32)  # [GH, bk]
         s = s + bias_w + jax.lax.dot_general(
-            rh, e_r, (((1,), (0,)), ((), ())),
+            relh, e_r, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         # mask key padding (m_valid keys are real)
         k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
@@ -448,23 +448,21 @@ def _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk,
     bq = min(bq, ((n + 127) // 128) * 128)
     pn = _pad_len(n, bq)
     pm = _pad_len(n, bk)
-    pad_rows = pm // gw if gw else 0
     assert pm % gw == 0
 
-    rpb = bk // gw
-    num_kb = (n + pm) // bk
+    # key-grid rows covered by the (row-padded) key timeline
+    gh_tot = (n + pm) // gw
     qf = jnp.pad(q, ((0, 0), (0, 0), (0, pn), (0, 0))).reshape(b * h, n + pn, d)
     kf = jnp.pad(k, ((0, 0), (0, 0), (0, pm), (0, 0))).reshape(b * h, n + pm, d)
     vf = jnp.pad(v, ((0, 0), (0, 0), (0, pm), (0, 0))).reshape(b * h, n + pm, d)
-    # key-block-major rel_h: [BH, num_kb, N, rows_per_block]
-    rhf = jnp.pad(rel_h, ((0, 0), (0, 0), (0, pn), (0, pad_rows)))
-    rhf = rhf.reshape(b * h, n + pn, num_kb, rpb).transpose(0, 2, 1, 3)
+    rhf = jnp.pad(rel_h, ((0, 0), (0, 0), (0, pn), (0, gh_tot - gh))
+                  ).reshape(b * h, n + pn, gh_tot)
     rwf = jnp.pad(rel_w, ((0, 0), (0, 0), (0, pn), (0, 0))
                   ).reshape(b * h, n + pn, gw)
 
     grid = (b * h, pl.cdiv(n + pn, bq))
     out, lse = pl.pallas_call(
-        functools.partial(_sam_fwd_kernel, bk=bk, kw=gw,
+        functools.partial(_sam_fwd_kernel, bk=bk, kw=gw, gh=gh_tot,
                           scale=1.0 / math.sqrt(d), m_valid=n),
         grid=grid,
         in_specs=[
@@ -474,7 +472,7 @@ def _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n + pm, d), lambda bh, iq: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, num_kb, bq, rpb), lambda bh, iq: (bh, 0, iq, 0),
+            pl.BlockSpec((None, bq, gh_tot), lambda bh, iq: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, bq, gw), lambda bh, iq: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
@@ -499,25 +497,23 @@ def _sam_flash_impl(q, k, v, rel_h, rel_w, grid_hw, bq, bk,
 
 def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
                    delta_ref, dq_ref, drelh_ref, drelw_ref, *, bk: int,
-                   kw: int, scale: float, m_valid: int, gh_pad: int,
+                   kw: int, gh: int, scale: float, m_valid: int, gh_pad: int,
                    gw_pad: int):
     """dq + d_rel_h + d_rel_w for one (batch*head, q-block). The rel grads are
     q-indexed, so they accumulate alongside dq while streaming key blocks.
     d_rel_h[:, r] = sum over keys in grid row r of dlogits — a matmul with the
-    {0,1} row-selector built from iotas; same for columns."""
+    {0,1} row-selector built from iotas; same for columns. relh_ref is the
+    full-width [bq, GH] projection (no key-block-major relayout)."""
     bq, d = q_ref.shape
     m_tot = k_ref.shape[0]
-    rpb = bk // kw
 
     q = q_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
     lse = lse_ref[:].astype(jnp.float32)
     delta = delta_ref[:].astype(jnp.float32)
     relw = relw_ref[:].astype(jnp.float32)
+    relh = relh_ref[:].astype(jnp.float32)                    # [bq, GH]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 0)
-    e_r = (col // kw == row).astype(jnp.float32)              # [rpb, bk]
     colw = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 1)
     roww = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 0)
     e_w = (colw % kw == roww).astype(jnp.float32)             # [kw, bk]
@@ -525,6 +521,8 @@ def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
                                  preferred_element_type=jnp.float32)
     # column selector padded to the d_rel_w output width
     e_w_sel = jnp.pad(e_w, ((0, gw_pad - kw), (0, 0)))        # [gw_pad, bk]
+    rsel_h = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 0)
+    ksel_h = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 1)
 
     def body(jk, carry):
         dq_acc, drh_acc, drw_acc = carry
@@ -532,9 +530,9 @@ def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
         v = v_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
         s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        rh = relh_ref[jk].astype(jnp.float32)                 # [bq, rpb]
+        e_r = (rsel_h == (jk * bk + ksel_h) // kw).astype(jnp.float32)
         s = s + bias_w + jax.lax.dot_general(
-            rh, e_r, (((1,), (0,)), ((), ())),
+            relh, e_r, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         s = jnp.where(k_pos < m_valid, s, NEG_INF)
@@ -544,10 +542,10 @@ def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
         ds = p * (dp - delta)                                  # [bq, bk]
         dq_new = dq_acc + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        # global-row selector for this key block: rows jk*rpb .. jk*rpb+rpb-1
+        # global-row selector for this key block's grid rows
         rsel = jax.lax.broadcasted_iota(jnp.int32, (gh_pad, bk), 0)
-        ksel = jk * rpb + jax.lax.broadcasted_iota(jnp.int32, (gh_pad, bk),
-                                                   1) // kw
+        ksel = jk * (bk // kw) + jax.lax.broadcasted_iota(
+            jnp.int32, (gh_pad, bk), 1) // kw
         e_row_g = (rsel == ksel).astype(jnp.float32)           # [gh_pad, bk]
         drh_new = drh_acc + jax.lax.dot_general(
             ds, e_row_g, (((1,), (1,)), ((), ())),
@@ -567,22 +565,22 @@ def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
 
 
 def _sam_dkv_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref, *, bq: int, kw: int,
+                    delta_ref, dk_ref, dv_ref, *, bq: int, kw: int, gh: int,
                     scale: float, m_valid: int):
     """dk/dv for one (batch*head, k-block), streaming query blocks. relh_ref
-    is this k-block's [N_pad, rpb] slice (key-block-major layout)."""
+    is the full [N_pad, GH] projection; this k-block's grid-row selector is
+    built from iotas."""
     bk, d = k_ref.shape
     n_tot = q_ref.shape[0]
     jk = pl.program_id(1)
-    rpb = bk // kw
 
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
     k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rpb, bk), 0)
-    e_r = (col // kw == row).astype(jnp.float32)
+    rsel_h = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 0)
+    ksel_h = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 1)
+    e_r = (rsel_h == (jk * bk + ksel_h) // kw).astype(jnp.float32)  # [GH, bk]
     colw = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 1)
     roww = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 0)
     e_w = (colw % kw == roww).astype(jnp.float32)
@@ -593,7 +591,7 @@ def _sam_dkv_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
         g = g_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
         lse = lse_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
         delta = delta_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
-        rh = relh_ref[0, pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        rh = relh_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
         rw = relw_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
         s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -626,9 +624,7 @@ def _sam_flash_bwd(q, k, v, rel_h, rel_w, out, lse, g, grid_hw, bq, bk):
     bq = min(bq, ((n + 127) // 128) * 128)
     pn = _pad_len(n, bq)
     pm = _pad_len(n, bk)
-    pad_rows = pm // gw if gw else 0
-    rpb = bk // gw
-    num_kb = (n + pm) // bk
+    gh_tot = (n + pm) // gw
     gh_pad = ((gh + 127) // 128) * 128
     gw_pad = ((gw + 127) // 128) * 128
     scale = 1.0 / math.sqrt(d)
@@ -637,8 +633,8 @@ def _sam_flash_bwd(q, k, v, rel_h, rel_w, out, lse, g, grid_hw, bq, bk):
     kf = jnp.pad(k, ((0, 0), (0, 0), (0, pm), (0, 0))).reshape(b * h, n + pm, d)
     vf = jnp.pad(v, ((0, 0), (0, 0), (0, pm), (0, 0))).reshape(b * h, n + pm, d)
     gf = jnp.pad(g, ((0, 0), (0, 0), (0, pn), (0, 0))).reshape(b * h, n + pn, d)
-    rhf = jnp.pad(rel_h, ((0, 0), (0, 0), (0, pn), (0, pad_rows)))
-    rhf = rhf.reshape(b * h, n + pn, num_kb, rpb).transpose(0, 2, 1, 3)
+    rhf = jnp.pad(rel_h, ((0, 0), (0, 0), (0, pn), (0, gh_tot - gh))
+                  ).reshape(b * h, n + pn, gh_tot)
     rwf = jnp.pad(rel_w, ((0, 0), (0, 0), (0, pn), (0, 0))
                   ).reshape(b * h, n + pn, gw)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
@@ -649,15 +645,14 @@ def _sam_flash_bwd(q, k, v, rel_h, rel_w, out, lse, g, grid_hw, bq, bk):
     full = lambda bh, i: (bh, 0, 0)
 
     dq, drh_p, drw_p = pl.pallas_call(
-        functools.partial(_sam_dq_kernel, bk=bk, kw=gw, scale=scale, m_valid=n,
-                          gh_pad=gh_pad, gw_pad=gw_pad),
+        functools.partial(_sam_dq_kernel, bk=bk, kw=gw, gh=gh_tot, scale=scale,
+                          m_valid=n, gh_pad=gh_pad, gw_pad=gw_pad),
         grid=(b * h, (n + pn) // bq),
         in_specs=[
             pl.BlockSpec((None, bq, d), blk_q, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n + pm, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n + pm, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, num_kb, bq, rpb), lambda bh, i: (bh, 0, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, gh_tot), blk_q, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, bq, gw), blk_q, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, bq, d), blk_q, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, bq, 1), blk_q, memory_space=pltpu.VMEM),
@@ -678,16 +673,14 @@ def _sam_flash_bwd(q, k, v, rel_h, rel_w, out, lse, g, grid_hw, bq, bk):
 
     blk_k = lambda bh, j: (bh, j, 0)
     dk, dv = pl.pallas_call(
-        functools.partial(_sam_dkv_kernel, bq=bq, kw=gw, scale=scale,
-                          m_valid=n),
+        functools.partial(_sam_dkv_kernel, bq=bq, kw=gw, gh=gh_tot,
+                          scale=scale, m_valid=n),
         grid=(b * h, (n + pm) // bk),
         in_specs=[
             pl.BlockSpec((None, n + pn, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, bk, d), blk_k, memory_space=pltpu.VMEM),
-            # this k-block's rel_h slice: [N_pad, rpb]
-            pl.BlockSpec((None, 1, n + pn, rpb), lambda bh, j: (bh, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n + pn, gh_tot), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n + pn, gw), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n + pn, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n + pn, 1), full, memory_space=pltpu.VMEM),
