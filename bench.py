@@ -103,13 +103,10 @@ def main():
     quant = os.environ.get("BENCH_QUANT",
                            "int8" if model_kind in ("7b", "13b") else "")
     if quant == "int8":
-        # init + quantize on the host CPU backend so the bf16 weights never
-        # exist in HBM, then ship only the int8 tree to the chip
-        from walkgpt_tpu.ops.quant import quantize_llm
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
-            params = dict(params, llm=quantize_llm(params["llm"]))
-        params = jax.device_put(params, jax.devices()[0])
+        # incremental on-device init: each layer's bf16 weights exist only
+        # transiently before quantization, so 7B/13B fit the chip and no
+        # multi-GB host->device transfer happens (the tunneled link is slow)
+        params = walkgpt.init_quantized(jax.random.PRNGKey(0), cfg, dtype)
     else:
         params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     n_params = nn.count_params(params)

@@ -98,3 +98,28 @@ def test_nearest_resize_matches_torch():
     ref = torch.nn.functional.interpolate(
         torch.from_numpy(x)[None, None], size=(9, 4), mode="nearest")[0, 0].numpy()
     np.testing.assert_array_equal(got, ref)
+
+
+def test_quantized_llm_init_matches_post_hoc_quantization():
+    """Incremental on-device quantized init == init-then-quantize (same keys,
+    same scales), and the quantized model runs a forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.ops.quant import quantize_llm, quantized_llm_init
+
+    key = jax.random.PRNGKey(3)
+    ref = quantize_llm(llm.init(key, LLAMA_TINY, jnp.float32))
+    got = quantized_llm_init(key, LLAMA_TINY, jnp.float32, jit_layer=False)
+    ref_flat, ref_tree = jax.tree_util.tree_flatten(ref)
+    got_flat, got_tree = jax.tree_util.tree_flatten(got)
+    assert ref_tree == got_tree
+    for a, b in zip(ref_flat, got_flat):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=0, atol=0)
+    x = jax.random.normal(jax.random.PRNGKey(4),
+                          (1, 8, LLAMA_TINY.hidden_size), jnp.float32)
+    h, _ = llm.forward(got, LLAMA_TINY, x)
+    assert np.isfinite(np.asarray(h)).all()

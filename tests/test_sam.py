@@ -143,3 +143,19 @@ def test_encoder_jit_compiles_once(tiny_sam):
     out1 = f(params, x)
     out2 = f(params, x + 1.0)
     assert out1.shape == out2.shape
+
+
+def test_encoder_fast_gelu_close_to_exact():
+    """fast_gelu (tanh approximation) tracks the exact-erf encoder closely —
+    it is an opt-in production-path knob, not a semantic change."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.core.config import SAM_VIT_TINY
+    from walkgpt_tpu.models import sam_encoder
+    params = sam_encoder.init(jax.random.PRNGKey(0), SAM_VIT_TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+    exact = sam_encoder.apply(params, SAM_VIT_TINY, x)
+    fast = sam_encoder.apply(params, SAM_VIT_TINY, x, fast_gelu=True)
+    diff = float(np.max(np.abs(np.asarray(exact) - np.asarray(fast))))
+    assert 0 < diff < 5e-2, diff

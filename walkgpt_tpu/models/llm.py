@@ -42,49 +42,57 @@ Params = Dict
 # init
 # ---------------------------------------------------------------------------
 
-def init(key, cfg: LLMConfig, dtype=jnp.float32) -> Params:
-    keys = jax.random.split(key, cfg.num_layers + 3)
-    head_dim = cfg.head_dim
-    kv_dim = cfg.num_kv_heads * head_dim
+def init_layer(key, cfg: LLMConfig, dtype=jnp.float32) -> Params:
+    """One decoder layer's params (also used for incremental on-device init
+    of quantized large models, ops/quant.quantized_llm_init)."""
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
 
     def norm_init():
         return (nn.rms_norm_init(cfg.hidden_size, dtype) if cfg.norm == "rmsnorm"
                 else nn.layer_norm_init(cfg.hidden_size, dtype))
 
-    layers = []
-    for i in range(cfg.num_layers):
-        k = jax.random.split(keys[i], 8)
-        layer = {
-            "input_norm": norm_init(),
-            "attn": {
-                "q": nn.linear_init(k[0], cfg.hidden_size, cfg.hidden_size,
-                                    bias=cfg.qkv_bias, dtype=dtype),
-                "k": nn.linear_init(k[1], cfg.hidden_size, kv_dim,
-                                    bias=cfg.qkv_bias, dtype=dtype),
-                "v": nn.linear_init(k[2], cfg.hidden_size, kv_dim,
-                                    bias=cfg.qkv_bias, dtype=dtype),
-                "o": nn.linear_init(k[3], cfg.hidden_size, cfg.hidden_size,
-                                    bias=cfg.qkv_bias, dtype=dtype),
-            },
-            "post_norm": norm_init(),
+    k = jax.random.split(key, 8)
+    layer = {
+        "input_norm": norm_init(),
+        "attn": {
+            "q": nn.linear_init(k[0], cfg.hidden_size, cfg.hidden_size,
+                                bias=cfg.qkv_bias, dtype=dtype),
+            "k": nn.linear_init(k[1], cfg.hidden_size, kv_dim,
+                                bias=cfg.qkv_bias, dtype=dtype),
+            "v": nn.linear_init(k[2], cfg.hidden_size, kv_dim,
+                                bias=cfg.qkv_bias, dtype=dtype),
+            "o": nn.linear_init(k[3], cfg.hidden_size, cfg.hidden_size,
+                                bias=cfg.qkv_bias, dtype=dtype),
+        },
+        "post_norm": norm_init(),
+    }
+    if cfg.act == "silu":
+        layer["mlp"] = {
+            "gate": nn.linear_init(k[4], cfg.hidden_size, cfg.intermediate_size,
+                                   bias=cfg.mlp_bias, dtype=dtype),
+            "up": nn.linear_init(k[5], cfg.hidden_size, cfg.intermediate_size,
+                                 bias=cfg.mlp_bias, dtype=dtype),
+            "down": nn.linear_init(k[6], cfg.intermediate_size, cfg.hidden_size,
+                                   bias=cfg.mlp_bias, dtype=dtype),
         }
-        if cfg.act == "silu":
-            layer["mlp"] = {
-                "gate": nn.linear_init(k[4], cfg.hidden_size, cfg.intermediate_size,
-                                       bias=cfg.mlp_bias, dtype=dtype),
-                "up": nn.linear_init(k[5], cfg.hidden_size, cfg.intermediate_size,
-                                     bias=cfg.mlp_bias, dtype=dtype),
-                "down": nn.linear_init(k[6], cfg.intermediate_size, cfg.hidden_size,
-                                       bias=cfg.mlp_bias, dtype=dtype),
-            }
-        else:
-            layer["mlp"] = {
-                "fc1": nn.linear_init(k[4], cfg.hidden_size, cfg.intermediate_size,
-                                      dtype=dtype),
-                "fc2": nn.linear_init(k[5], cfg.intermediate_size, cfg.hidden_size,
-                                      dtype=dtype),
-            }
-        layers.append(layer)
+    else:
+        layer["mlp"] = {
+            "fc1": nn.linear_init(k[4], cfg.hidden_size, cfg.intermediate_size,
+                                  dtype=dtype),
+            "fc2": nn.linear_init(k[5], cfg.intermediate_size, cfg.hidden_size,
+                                  dtype=dtype),
+        }
+    return layer
+
+
+def init(key, cfg: LLMConfig, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, cfg.num_layers + 3)
+
+    def norm_init():
+        return (nn.rms_norm_init(cfg.hidden_size, dtype) if cfg.norm == "rmsnorm"
+                else nn.layer_norm_init(cfg.hidden_size, dtype))
+
+    layers = [init_layer(keys[i], cfg, dtype) for i in range(cfg.num_layers)]
 
     params = {
         "embed_tokens": nn.embedding_init(keys[-3], cfg.vocab_size,

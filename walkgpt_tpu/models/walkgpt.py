@@ -70,6 +70,27 @@ def init(key, cfg: WalkGPTConfig, dtype=jnp.float32) -> Dict:
     return params
 
 
+def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16) -> Dict:
+    """Same layout/keys as init(), but the LLM is built int8-quantized
+    incrementally on the default device — a 7B/13B model fits a 16 GB chip
+    without the full bf16 tree (or a multi-GB host->device transfer) ever
+    existing. Non-LLM components (SAM, projectors) stay bf16."""
+    from ..ops.quant import quantized_llm_init
+    keys = jax.random.split(key, 7)
+    params = {
+        "llm": quantized_llm_init(keys[0], cfg.llm, dtype),
+        "sam": sam.init(keys[1], sam_config(cfg), dtype),
+        "msqp": msqp_init(keys[2], cfg.msqp, cfg.llm.hidden_size, dtype),
+        "ctp": [ctp_init(keys[3], cfg.ctp, cfg.llm.hidden_size, dtype)],
+        "tiny_xattn": tiny_xattn_init(keys[4], cfg.msqp.sam_dim, dtype),
+    }
+    if cfg.clip is not None:
+        params["clip"] = clip_vit.init(keys[5], cfg.clip, dtype)
+        params["mm_projector"] = nn.linear_init(keys[6], cfg.clip.hidden_size,
+                                                cfg.llm.hidden_size, dtype=dtype)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # vision encoding
 # ---------------------------------------------------------------------------

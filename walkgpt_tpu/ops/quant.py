@@ -40,26 +40,75 @@ def _is_proj(d: Any) -> bool:
     return isinstance(d, dict) and "w" in d and getattr(d["w"], "ndim", 0) == 2
 
 
+def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True) -> Dict:
+    """Random-init an int8-quantized LLM directly on the default device,
+    one layer at a time: each layer's bf16 weights exist only transiently
+    (freed after quantization), so a 7B/13B int8 model can be built on a
+    16 GB chip without ever holding the full bf16 tree in HBM — and without
+    shipping gigabytes over a (slow, tunneled) host->device link the way a
+    host-side init + device_put would."""
+    import jax
+    import jax.numpy as jnp
+    from ..models import llm as llm_mod
+
+    dtype = dtype or jnp.bfloat16
+    keys = jax.random.split(key, cfg.num_layers + 3)
+
+    def build_one(k):
+        layer = llm_mod.init_layer(k, cfg, dtype)
+        layer["attn"] = {kk: (convert_proj(v) if _is_proj(v) else v)
+                         for kk, v in layer["attn"].items()}
+        layer["mlp"] = {kk: (convert_proj(v) if _is_proj(v) else v)
+                        for kk, v in layer["mlp"].items()}
+        return layer
+
+    if jit_layer:
+        build_one = jax.jit(build_one)
+    layers = []
+    for i in range(cfg.num_layers):
+        layers.append(jax.block_until_ready(build_one(keys[i])))
+
+    from ..core import nn
+
+    def norm_init():
+        return (nn.rms_norm_init(cfg.hidden_size, dtype) if cfg.norm == "rmsnorm"
+                else nn.layer_norm_init(cfg.hidden_size, dtype))
+
+    params = {
+        "embed_tokens": nn.embedding_init(keys[-3], cfg.vocab_size,
+                                          cfg.hidden_size, dtype=dtype),
+        "layers": layers,
+        "final_norm": norm_init(),
+    }
+    if not cfg.tie_embeddings:
+        head = nn.linear_init(keys[-2], cfg.hidden_size, cfg.vocab_size,
+                              bias=False, dtype=dtype)
+        params["lm_head"] = convert_proj(head)
+    return params
+
+
+def convert_proj(d: Dict) -> Dict:
+    """Quantize one {w[, b]} projection dict in place-shape."""
+    out = {k: v for k, v in d.items() if k != "w"}
+    out.update(quantize_weight(d["w"]))
+    return out
+
+
 def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False) -> Dict:
     """int8-quantize all 2-D projection weights of an LLM param tree
     (attention q/k/v/o, MLP, lm_head; embeddings optional — the embedding
     gather reads one row per token, so quantizing it saves little)."""
-    def convert(d: Dict) -> Dict:
-        out = {k: v for k, v in d.items() if k != "w"}
-        out.update(quantize_weight(d["w"]))
-        return out
-
     p = {k: v for k, v in llm_params.items()}
     p["layers"] = []
     for layer in llm_params["layers"]:
         new_layer = dict(layer)
-        new_layer["attn"] = {k: (convert(v) if _is_proj(v) else v)
+        new_layer["attn"] = {k: (convert_proj(v) if _is_proj(v) else v)
                              for k, v in layer["attn"].items()}
-        new_layer["mlp"] = {k: (convert(v) if _is_proj(v) else v)
+        new_layer["mlp"] = {k: (convert_proj(v) if _is_proj(v) else v)
                             for k, v in layer["mlp"].items()}
         p["layers"].append(new_layer)
     if "lm_head" in p and _is_proj(p["lm_head"]):
-        p["lm_head"] = convert(p["lm_head"])
+        p["lm_head"] = convert_proj(p["lm_head"])
     if quantize_embeddings and _is_proj(p.get("embed_tokens", {})):
-        p["embed_tokens"] = convert(p["embed_tokens"])
+        p["embed_tokens"] = convert_proj(p["embed_tokens"])
     return p
