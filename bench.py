@@ -102,11 +102,14 @@ def main():
     # 7B/13B need int8 weights to fit one v5e-16G chip (bf16 14/26 GB)
     quant = os.environ.get("BENCH_QUANT",
                            "int8" if model_kind in ("7b", "13b") else "")
-    if quant == "int8":
+    if quant in ("int8", "w8a8"):
         # incremental on-device init: each layer's bf16 weights exist only
         # transiently before quantization, so 7B/13B fit the chip and no
-        # multi-GB host->device transfer happens (the tunneled link is slow)
-        params = walkgpt.init_quantized(jax.random.PRNGKey(0), cfg, dtype)
+        # multi-GB host->device transfer happens (the tunneled link is slow).
+        # w8a8 additionally quantizes activations per token at runtime ->
+        # native int8 MXU dots (no per-element weight dequant on the VPU).
+        params = walkgpt.init_quantized(jax.random.PRNGKey(0), cfg, dtype,
+                                        act_quant=quant == "w8a8")
     else:
         params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     n_params = nn.count_params(params)
@@ -156,17 +159,23 @@ def main():
     value = batch / dt
     n_llm = nn.count_params({"llm": params["llm"]})
     a100 = a100_reference_imgs_per_sec(n_llm, max_new, batch)
+    # the reference's own eval decodes UNBATCHED (evaluation_walkgpt.py:569:
+    # one generate() per sample); vs_baseline grants the A100 our batching
+    # anyway — report the as-written comparison as a secondary field
+    a100_unbatched = a100_reference_imgs_per_sec(n_llm, max_new, 1)
     result = {
         "metric": (f"PAVE e2e images/sec/chip (WalkGPT-{model_kind}: SAM-ViT-H "
                    f"encode + MSQP + prefill {ids.shape[1]}+255 tok + greedy "
                    f"{max_new} tok + {MAX_SEGS}-SEG mask decode, "
-                   f"{'int8-weight LLM, ' if quant == 'int8' else ''}bf16, "
+                   f"{quant + '-LLM, ' if quant else ''}bf16, "
                    f"batch {batch}; baseline = analytic A100-80G at the SAME "
-                   f"{n_llm/1e9:.1f}B-LLM scale and {max_new}-token budget, "
-                   f"= {a100:.3f} img/s)"),
+                   f"{n_llm/1e9:.1f}B-LLM scale and {max_new}-token budget "
+                   f"WITH our batching, = {a100:.3f} img/s; the reference "
+                   f"as-written decodes unbatched = {a100_unbatched:.3f})"),
         "value": round(value, 4),
         "unit": "images/sec",
         "vs_baseline": round(value / a100, 2),
+        "vs_baseline_unbatched_ref": round(value / a100_unbatched, 2),
     }
     print(json.dumps(result))
     print(f"# params={n_params/1e9:.2f}B latency={dt*1000:.1f}ms/batch{batch} "

@@ -341,3 +341,46 @@ def test_sam_window_attention_packed_matches_split():
     for name, a, b in zip(["qkv", "rel"], gp, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=f"d{name}")
+
+
+def test_decode_attention_matches_mha():
+    """Fused flat-cache decode kernel == masked mha, incl. GQA repeat."""
+    from walkgpt_tpu.ops.flash_attention import decode_attention
+    b, h, n_kv, d, l = 2, 4, 2, 8, 16
+    q = rand(b, h, d, seed=90)
+    k = rand(b, l, n_kv * d, seed=91)
+    v = rand(b, l, n_kv * d, seed=92)
+    mask = jnp.arange(l)[None, :] < jnp.array([[5], [11]])
+    got = decode_attention(q.reshape(b, h * d), k[None], v[None], mask,
+                           n_kv=n_kv, layer=0, block=8)
+    # reference: split layouts, repeat kv, masked mha
+    kh = k.reshape(b, l, n_kv, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, l, n_kv, d).transpose(0, 2, 1, 3)
+    rep = h // n_kv
+    kh = jnp.repeat(kh, rep, axis=1)
+    vh = jnp.repeat(vh, rep, axis=1)
+    ref = mha(q[:, :, None], kh, vh, mask=mask[:, None, None, :])[:, :, 0]
+    np.testing.assert_allclose(np.asarray(got).reshape(b, h, d),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_greedy_generate_fused_decode_parity():
+    """fused_decode=True (flat cache + Pallas decode attention) emits the
+    same tokens as the heads-layout path."""
+    import dataclasses
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.runtime.generate import greedy_generate
+    params = llm.init(jax.random.PRNGKey(0), LLAMA_TINY)
+    emb = rand(2, 7, LLAMA_TINY.hidden_size, seed=93)
+    mask = jnp.array([[True] * 7, [True] * 5 + [False] * 2])
+    ref = greedy_generate(params, LLAMA_TINY, emb, mask, max_new_tokens=6,
+                          eos_id=-1)
+    cfg_f = dataclasses.replace(LLAMA_TINY, fused_decode=True)
+    got = greedy_generate(params, cfg_f, emb, mask, max_new_tokens=6,
+                          eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+    np.testing.assert_allclose(np.asarray(ref.pred_hidden),
+                               np.asarray(got.pred_hidden), rtol=2e-4,
+                               atol=2e-5)

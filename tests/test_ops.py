@@ -123,3 +123,30 @@ def test_quantized_llm_init_matches_post_hoc_quantization():
                           (1, 8, LLAMA_TINY.hidden_size), jnp.float32)
     h, _ = llm.forward(got, LLAMA_TINY, x)
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_w8a8_linear_close_to_float():
+    """W8A8 (dynamic per-token int8 activations x per-channel int8 weights on
+    the int8 MXU path) tracks the float linear within quantization noise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.core import nn
+    from walkgpt_tpu.ops.quant import convert_proj
+
+    key = jax.random.PRNGKey(7)
+    p = nn.linear_init(key, 64, 48, bias=True, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(8), (5, 64), jnp.float32)
+    ref = nn.linear(p, x)
+    q = convert_proj(p, act_quant=True)
+    assert "a8" in q and q["w_q"].dtype == jnp.int8
+    got = nn.linear(q, x)
+    # int8*int8 with per-row/per-channel scales: error small vs output scale
+    scale = float(np.std(np.asarray(ref)))
+    err = float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) / scale
+    assert err < 5e-2, err
+    # weight-only path still works and is tighter
+    q2 = convert_proj(p, act_quant=False)
+    got2 = nn.linear(q2, x)
+    err2 = float(np.max(np.abs(np.asarray(got2) - np.asarray(ref)))) / scale
+    assert err2 < err, (err2, err)

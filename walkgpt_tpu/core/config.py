@@ -123,6 +123,11 @@ class LLMConfig:
     mlp_bias: bool = False
     tie_embeddings: bool = False
     family: str = "llama"                  # "llama" | "mpt" | "stablelm"
+    # flat [B, L, Hkv*D] KV cache + fused Pallas decode attention (rope
+    # models only). Off by default: on v5e the per-pallas-call launch
+    # overhead (x num_layers per step) outweighs the full-bandwidth cache
+    # reads — see ops/flash_attention.py decode-attention notes.
+    fused_decode: bool = False
 
     @property
     def head_dim(self) -> int:

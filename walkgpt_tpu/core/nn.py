@@ -93,6 +93,19 @@ def linear_init(key, d_in: int, d_out: int, *, bias: bool = True,
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "a8" in p:    # W8A8: dynamic per-token int8 activations (ops/quant.py)
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        # native int8xint8->int32 MXU dot: no per-element weight dequant
+        y = jax.lax.dot_general(xq, p["w_q"],
+                                (((xq.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * sx * p["w_scale"]).astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
     if "w_q" in p:   # weight-only int8 (ops/quant.py)
         y = (x @ p["w_q"].astype(x.dtype)) * p["w_scale"].astype(x.dtype)
         if "b" in p:

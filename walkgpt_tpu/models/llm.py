@@ -254,9 +254,20 @@ def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
-                  dtype=jnp.float32, quant: bool = False) -> Params:
+                  dtype=jnp.float32, quant: bool = False,
+                  layout: str = "heads") -> Params:
     """quant=True stores K/V as int8 with per-row (token) fp32 scales — halves
-    decode-time cache HBM reads (the bandwidth bound alongside the weights)."""
+    decode-time cache HBM reads (the bandwidth bound alongside the weights).
+
+    layout="flat" stores [layers, B, L, n_kv*D] instead of
+    [layers, B, n_kv, L, D]: contiguous 4-8 KB rows that the fused Pallas
+    decode-attention kernel streams at full HBM bandwidth (the heads layout's
+    256 B rows read at ~60% of peak). decode_step dispatches on the rank."""
+    if layout == "flat":
+        shape = (cfg.num_layers, batch, max_len,
+                 cfg.num_kv_heads * cfg.head_dim)
+        assert not quant, "flat int8 cache not implemented"
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if quant:
         sshape = shape[:-1] + (1,)
@@ -264,6 +275,10 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
                 "k_scale": jnp.zeros(sshape, jnp.float32),
                 "v_scale": jnp.zeros(sshape, jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _cache_is_flat(kv_cache: Params) -> bool:
+    return kv_cache["k"].ndim == 4
 
 
 def _quant_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -344,7 +359,14 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
         if kv_cache is not None:
             # in-place slice writes (XLA aliases these into the cache buffer —
             # no per-layer full-cache pad/copy)
-            if "k_scale" in new_cache:
+            if _cache_is_flat(new_cache):
+                bb, hkv, tt, dd = k_new.shape
+                dt = new_cache["k"].dtype
+                flat = lambda z: z.transpose(0, 2, 1, 3).reshape(
+                    bb, tt, hkv * dd).astype(dt)
+                new_cache["k"] = new_cache["k"].at[i, :, :t, :].set(flat(k_new))
+                new_cache["v"] = new_cache["v"].at[i, :, :t, :].set(flat(v_new))
+            elif "k_scale" in new_cache:
                 kq, ks = _quant_rows(k_new)
                 vq, vs = _quant_rows(v_new)
                 new_cache["k"] = new_cache["k"].at[i, :, :, :t, :].set(kq)
@@ -385,6 +407,7 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
     x = inputs_embeds
     out_cache = dict(kv_cache)
     quant = "k_scale" in kv_cache
+    flat = _cache_is_flat(kv_cache)
     batch_idx = jnp.arange(b)
     for i, layer in enumerate(params["layers"]):
         h_in = _norm(layer["input_norm"], x, cfg)
@@ -397,6 +420,27 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             cos, sin = rope_tables(cfg, positions)
             q = apply_rope(q, cos, sin, rot_dim)
             k1 = apply_rope(k1, cos, sin, rot_dim)
+        if flat:
+            # flat cache + fused Pallas attention: 4-8 KB cache rows and no
+            # head-split relayout of the cache read
+            from ..ops.flash_attention import decode_attention
+            dt = out_cache["k"].dtype
+            kd = out_cache["k"].shape[-1]
+            out_cache["k"] = out_cache["k"].at[i, batch_idx, cache_len].set(
+                k1[:, :, 0].reshape(b, kd).astype(dt))
+            out_cache["v"] = out_cache["v"].at[i, batch_idx, cache_len].set(
+                v1[:, :, 0].reshape(b, kd).astype(dt))
+            if bias is not None:
+                raise NotImplementedError(
+                    "fused decode attention supports rope/no-bias models; "
+                    "use the heads-layout cache for ALiBi")
+            att = decode_attention(
+                q[:, :, 0].reshape(b, cfg.num_heads * cfg.head_dim),
+                out_cache["k"], out_cache["v"], key_mask,
+                n_kv=cfg.num_kv_heads, layer=i)
+            x = x + nn.linear(layer["attn"]["o"], att[:, None])
+            x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
+            continue
         if quant:
             kq, ks = _quant_rows(k1[:, :, 0])
             vq, vs = _quant_rows(v1[:, :, 0])

@@ -70,15 +70,18 @@ def init(key, cfg: WalkGPTConfig, dtype=jnp.float32) -> Dict:
     return params
 
 
-def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16) -> Dict:
+def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
+                   act_quant: bool = False) -> Dict:
     """Same layout/keys as init(), but the LLM is built int8-quantized
     incrementally on the default device — a 7B/13B model fits a 16 GB chip
     without the full bf16 tree (or a multi-GB host->device transfer) ever
-    existing. Non-LLM components (SAM, projectors) stay bf16."""
+    existing. Non-LLM components (SAM, projectors) stay bf16. act_quant=True
+    marks projections for W8A8 dynamic-activation int8 (native MXU int8 dot)."""
     from ..ops.quant import quantized_llm_init
     keys = jax.random.split(key, 7)
     params = {
-        "llm": quantized_llm_init(keys[0], cfg.llm, dtype),
+        "llm": quantized_llm_init(keys[0], cfg.llm, dtype,
+                                  act_quant=act_quant),
         "sam": sam.init(keys[1], sam_config(cfg), dtype),
         "msqp": msqp_init(keys[2], cfg.msqp, cfg.llm.hidden_size, dtype),
         "ctp": [ctp_init(keys[3], cfg.ctp, cfg.llm.hidden_size, dtype)],

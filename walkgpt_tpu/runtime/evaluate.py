@@ -54,10 +54,12 @@ def parse_args(argv):
     p.add_argument("--use_mm_start_end", action="store_true", default=True)
     p.add_argument("--precision", default="bf16",
                    choices=["fp32", "bf16", "fp16"])
-    p.add_argument("--quant", default="none", choices=["none", "int8"],
-                   help="weight-only int8 LLM (applied after checkpoint "
-                        "load); -23%% decode step time at 1B, required to "
-                        "fit 7B/13B on one 16 GB chip")
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "w8a8"],
+                   help="int8 LLM (applied after checkpoint load): 'int8' = "
+                        "weight-only (-23%% decode step at 1B; required to "
+                        "fit 7B/13B on one chip), 'w8a8' adds dynamic "
+                        "per-token int8 activations (native MXU int8 dots)")
     p.add_argument("--fast", action="store_true", default=False,
                    help="production inference mode: packed windowed-attention"
                         " fast path + tanh GELU in the SAM encoder (~40%% "
@@ -114,11 +116,13 @@ def build_model(args, cfg):
             converted = ck.convert_walkgpt_state(sd, cfg)
             converted["llm"] = ck.merge_lora(converted["llm"])
             params = ck.load_into(params, converted)
-    if getattr(args, "quant", "none") == "int8":
-        # weight-only int8 AFTER checkpoint load: halves decode-time weight
-        # reads (and makes 7B/13B fit one 16 GB v5e chip)
+    if getattr(args, "quant", "none") in ("int8", "w8a8"):
+        # int8 AFTER checkpoint load: halves decode-time weight reads (and
+        # makes 7B/13B fit one 16 GB v5e chip); w8a8 also runs dynamic
+        # per-token int8 activations on the native int8 MXU path
         from ..ops.quant import quantize_llm
-        params = dict(params, llm=quantize_llm(params["llm"]))
+        params = dict(params, llm=quantize_llm(
+            params["llm"], act_quant=args.quant == "w8a8"))
     return params
 
 

@@ -68,8 +68,15 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     b, t, h = inputs_embeds.shape
     max_len = t + max_new_tokens
     cache_dtype = inputs_embeds.dtype
+    layout = "heads"
+    if cfg.fused_decode and cfg.pos_emb == "rope" and not kv_quant:
+        # flat cache (fused Pallas decode attention) wants a block-multiple
+        # length; the extra masked slots are free
+        from ..ops.flash_attention import DECODE_BLOCK
+        max_len = -(-max_len // DECODE_BLOCK) * DECODE_BLOCK
+        layout = "flat"
     kv_cache = llm.init_kv_cache(cfg, b, max_len, dtype=cache_dtype,
-                                 quant=kv_quant)
+                                 quant=kv_quant, layout=layout)
 
     # ---- prefill ----
     prefill_hidden, kv_cache = llm.forward(
