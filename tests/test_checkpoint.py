@@ -304,3 +304,42 @@ def test_consolidate_roundtrip(tmp_path):
     re = ck.load_orbax(str(dst), like=tree)
     np.testing.assert_array_equal(np.asarray(re["llm"]["embed_tokens"]["w"]),
                                   sd["model.embed_tokens.weight"].numpy())
+
+
+def test_consolidate_adapter_only_with_init_merges_lora():
+    """An adapter-only (LoRA-only) checkpoint consolidated with --with_init
+    must overlay the adapter onto the init weights and fold it — the
+    round-trip crashed before _merge became structure-tolerant."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from walkgpt_tpu.core.config import tiny_config
+    from walkgpt_tpu.models import walkgpt
+    from walkgpt_tpu.runtime import checkpoint as ck
+
+    cfg = tiny_config()
+    params = walkgpt.init(jax.random.PRNGKey(0), cfg)
+    h = cfg.llm.hidden_size
+    r = 2
+    rng = np.random.RandomState(0)
+    sd = {}
+    for i in range(cfg.llm.num_layers):
+        base = (f"module.base_model.model.model.layers.{i}.self_attn."
+                f"q_proj")
+        sd[f"{base}.lora_A.weight"] = rng.randn(r, h).astype(np.float32)
+        sd[f"{base}.lora_B.weight"] = rng.randn(h, r).astype(np.float32)
+    tree = ck.convert_walkgpt_state(sd, cfg, lenient=True)
+    tree["llm"] = ck.merge_lora(tree["llm"])      # keeps adapter (no base w)
+    merged = ck.load_into(params, tree)
+    merged["llm"] = ck.merge_lora(merged["llm"])  # folds onto init weights
+    q0 = merged["llm"]["layers"][0]["attn"]["q"]
+    assert "lora_a" not in q0
+    w_init = params["llm"]["layers"][0]["attn"]["q"]["w"]
+    a = sd["module.base_model.model.model.layers.0.self_attn.q_proj"
+           ".lora_A.weight"].T
+    b = sd["module.base_model.model.model.layers.0.self_attn.q_proj"
+           ".lora_B.weight"].T
+    scale = 16.0 / r
+    expect = np.asarray(w_init) + (a @ b) * scale
+    np.testing.assert_allclose(np.asarray(q0["w"]), expect, rtol=2e-5,
+                               atol=2e-5)
