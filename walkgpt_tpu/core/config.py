@@ -221,9 +221,12 @@ class WalkGPTConfig:
     image_feature_scale_num: int = 1
     max_seq_len: int = 2048
     use_flash_attention: bool = True
-    # bf16 bias/logits traffic in SAM windowed attention (fp32 softmax stats
-    # only): ~13% faster SAM-H encode at small bf16 feature drift. Off for
-    # fidelity-exact runs; bench/serving enable it.
+    # Applies to the NON-flash einsum fallback only: bf16 bias/logits traffic
+    # in SAM windowed attention (fp32 softmax stats). With flash attention on
+    # (default) the packed Pallas window kernel is always used — its matmuls
+    # run in the activation dtype with fp32 accumulation/softmax, which is
+    # bit-exact in fp32 runs (the parity suite) and standard bf16-mixed
+    # numerics in production.
     fast_windowed_attention: bool = False
     # tanh-approximate GELU in the SAM encoder MLPs (~3e-3 bf16 drift; the
     # erf chain costs ~5 ms/block at batch 16 on v5e). Same opt-in policy.

@@ -53,10 +53,11 @@ def sam_config(cfg: WalkGPTConfig) -> sam.SamConfig:
                          decoder=cfg.mask_decoder)
 
 
-def init(key, cfg: WalkGPTConfig, dtype=jnp.float32) -> Dict:
+def init(key, cfg: WalkGPTConfig, dtype=jnp.float32, *, llm_init=None) -> Dict:
+    llm_init = llm_init or llm.init
     keys = jax.random.split(key, 7)
     params = {
-        "llm": llm.init(keys[0], cfg.llm, dtype),
+        "llm": llm_init(keys[0], cfg.llm, dtype),
         "sam": sam.init(keys[1], sam_config(cfg), dtype),
         "msqp": msqp_init(keys[2], cfg.msqp, cfg.llm.hidden_size, dtype),
         "ctp": [ctp_init(keys[3], cfg.ctp, cfg.llm.hidden_size, dtype)],
@@ -77,21 +78,11 @@ def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
     without the full bf16 tree (or a multi-GB host->device transfer) ever
     existing. Non-LLM components (SAM, projectors) stay bf16. act_quant=True
     marks projections for W8A8 dynamic-activation int8 (native MXU int8 dot)."""
+    import functools
     from ..ops.quant import quantized_llm_init
-    keys = jax.random.split(key, 7)
-    params = {
-        "llm": quantized_llm_init(keys[0], cfg.llm, dtype,
-                                  act_quant=act_quant),
-        "sam": sam.init(keys[1], sam_config(cfg), dtype),
-        "msqp": msqp_init(keys[2], cfg.msqp, cfg.llm.hidden_size, dtype),
-        "ctp": [ctp_init(keys[3], cfg.ctp, cfg.llm.hidden_size, dtype)],
-        "tiny_xattn": tiny_xattn_init(keys[4], cfg.msqp.sam_dim, dtype),
-    }
-    if cfg.clip is not None:
-        params["clip"] = clip_vit.init(keys[5], cfg.clip, dtype)
-        params["mm_projector"] = nn.linear_init(keys[6], cfg.clip.hidden_size,
-                                                cfg.llm.hidden_size, dtype=dtype)
-    return params
+    return init(key, cfg, dtype,
+                llm_init=functools.partial(quantized_llm_init,
+                                           act_quant=act_quant))
 
 
 # ---------------------------------------------------------------------------

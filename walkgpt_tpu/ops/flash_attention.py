@@ -779,14 +779,20 @@ def _win_bwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
                     delta_ref, dq_ref, dk_ref, dv_ref, drh_ref, drw_ref, *,
                     ws: int, scale: float, ws_pad: int):
     wg, t, d = q_ref.shape
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
+    q_raw = q_ref[:]
+    k_raw = k_ref[:]
+    q = q_raw.astype(jnp.float32)
+    k = k_raw.astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
     lse = lse_ref[:].astype(jnp.float32)
     delta = delta_ref[:].astype(jnp.float32)
     e_r, e_w = _win_expansions(ws, t)
-    s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
+    # recompute s EXACTLY as the forward did (q*scale rounded to the input
+    # dtype before the dot) so p = exp(s - lse) is consistent with the
+    # stored logsumexp in bf16 training
+    s = jax.lax.dot_general(q_raw * jnp.asarray(scale, q_raw.dtype), k_raw,
+                            (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     s = s + _win_bias(relh_ref[:], relw_ref[:], e_r, e_w, wg, t, ws)
     p = jnp.exp(s - lse)
@@ -960,15 +966,19 @@ def _win_packed_bwd_kernel(qkv_ref, rel_ref, g_ref, lse_ref, delta_ref,
     c = h * d
     e_r, e_w = _win_expansions(ws, t)
     for hh in range(h):
-        q = qkv_ref[:, :, hh * d:(hh + 1) * d].astype(jnp.float32)
-        k = qkv_ref[:, :, c + hh * d:c + (hh + 1) * d].astype(jnp.float32)
+        q_raw = qkv_ref[:, :, hh * d:(hh + 1) * d]
+        k_raw = qkv_ref[:, :, c + hh * d:c + (hh + 1) * d]
+        q = q_raw.astype(jnp.float32)
+        k = k_raw.astype(jnp.float32)
         v = qkv_ref[:, :, 2 * c + hh * d:2 * c + (hh + 1) * d].astype(jnp.float32)
         rh = rel_ref[:, :, hh * ws:(hh + 1) * ws]
         rw = rel_ref[:, :, (h + hh) * ws:(h + hh + 1) * ws]
         g = g_ref[:, :, hh * d:(hh + 1) * d].astype(jnp.float32)
         lse = lse_ref[:, :, hh:hh + 1].astype(jnp.float32)
         delta = delta_ref[:, :, hh:hh + 1].astype(jnp.float32)
-        s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
+        # same q*scale rounding as the forward — see _win_bwd_kernel note
+        s = jax.lax.dot_general(q_raw * jnp.asarray(scale, q_raw.dtype), k_raw,
+                                (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         s = s + _win_bias(rh, rw, e_r, e_w, wg, t, ws)
         p = jnp.exp(s - lse)

@@ -150,12 +150,31 @@ class LenientReader(SDReader):
 
 def _merge(dst: Any, src: Any) -> Any:
     """Overlay converted arrays onto an existing (e.g. random-init) tree,
-    keeping dtypes of the destination leaves."""
-    def f(d, s):
+    keeping dtypes of the destination leaves. Structure-tolerant: src keys
+    absent from dst are ADDED (e.g. lora_a/lora_b adapters from an
+    adapter-only checkpoint overlay onto plain {w} projections — merge_lora
+    folds them afterwards); dst keys absent from src keep their init."""
+    if src is None:
+        return dst
+    if isinstance(dst, dict) and isinstance(src, dict):
+        out = {k: v for k, v in dst.items()}
+        for k, s in src.items():
+            out[k] = _merge(dst[k], s) if k in dst else _fresh(s)
+        return out
+    if isinstance(dst, (list, tuple)) and isinstance(src, (list, tuple)):
+        assert len(dst) == len(src), (len(dst), len(src))
+        return type(dst)(_merge(d, s) for d, s in zip(dst, src))
+    return jnp.asarray(src, getattr(dst, "dtype", jnp.float32))
+
+
+def _fresh(src: Any) -> Any:
+    """A src subtree with no destination counterpart: all leaves must exist."""
+    def f(s):
         if s is None:
-            return d
-        return jnp.asarray(s, getattr(d, "dtype", jnp.float32))
-    return jax.tree_util.tree_map(f, dst, src,
+            raise ValueError("checkpoint subtree has missing leaves and no "
+                             "initialized counterpart to fall back on")
+        return jnp.asarray(s)
+    return jax.tree_util.tree_map(f, src,
                                   is_leaf=lambda x: x is None or hasattr(x, "shape"))
 
 
@@ -581,6 +600,10 @@ def consolidate(src: str, dst: str, cfg, *, init_params: Optional[Dict] = None
             tree["llm"] = merge_lora(tree["llm"])
         if init_params is not None:
             tree = load_into(init_params, tree)
+            # an adapter-only checkpoint keeps its LoRA unmerged until the
+            # overlay supplies real base weights — fold it now (idempotent)
+            if "llm" in tree:
+                tree["llm"] = merge_lora(tree["llm"])
         else:
             missing = [_path_of(p) for p, leaf in
                        jax.tree_util.tree_leaves_with_path(

@@ -61,10 +61,11 @@ def parse_args(argv):
                         "fit 7B/13B on one chip), 'w8a8' adds dynamic "
                         "per-token int8 activations (native MXU int8 dots)")
     p.add_argument("--fast", action="store_true", default=False,
-                   help="production inference mode: packed windowed-attention"
-                        " fast path + tanh GELU in the SAM encoder (~40%% "
-                        "faster encode at ~3e-3 bf16 drift; keep off for "
-                        "reference-exact numerics)")
+                   help="production inference mode: tanh GELU (+ bf16 "
+                        "logits on the non-flash einsum path) in the SAM "
+                        "encoder — ~15%% faster encode at ~3e-3 bf16 drift. "
+                        "The packed windowed-attention kernel runs whenever "
+                        "flash attention is on (bit-exact in fp32).")
     p.add_argument("--seg_token_num", default=1, type=int)
     p.add_argument("--image_feature_scale_num", default=1, type=int)
     p.add_argument("--max_new_tokens", default=512, type=int)
@@ -211,7 +212,6 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
     import jax.numpy as jnp
     from ..data.collate import collate_batch
     from ..data.tokenizer import tokenizer_image_token
-    from ..models import walkgpt
     from ..runtime.batching import prepare_batch
     from ..eval.metrics import (DepthAccuracy, IoUAccumulator,
                                 parse_distance_block)
