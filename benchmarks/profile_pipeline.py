@@ -4,6 +4,11 @@ Times SAM encode / MSQP / splice+prefill / decode scan / mask decode as
 separately-jitted programs at the bench.py configuration, to target the next
 optimization. (Not the driver bench — see bench.py for the one-JSON contract.)
 
+CAVEAT: each separately-jitted stage pays the platform's ~5.7 ms dispatch
+overhead, so small stages read high and the sum exceeds the fused e2e time.
+Trust relative changes and the large stages; for absolute numbers chain the
+op inside one program (see benchmarks/profile_sam.py history in git).
+
 Run: python benchmarks/profile_pipeline.py [batch] [new_tokens]
 """
 from __future__ import annotations
