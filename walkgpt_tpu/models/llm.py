@@ -173,7 +173,9 @@ def _proj(p, x):
     y = nn.linear(p, x)          # handles dense and int8-quantized weights
     if "lora_a" in p:
         scale = p.get("lora_scale", 1.0)
-        y = y + (x @ p["lora_a"]) @ p["lora_b"] * scale
+        # keep the activation dtype: a f32 lora_scale leaf must not upcast a
+        # bf16 residual stream
+        y = y + ((x @ p["lora_a"]) @ p["lora_b"] * scale).astype(y.dtype)
     return y
 
 

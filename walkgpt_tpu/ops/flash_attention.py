@@ -1140,7 +1140,9 @@ def _decode_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s,
         l_old = l_s[hh:hh + 1, 0:1]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(s - m_new)
+        # exp(NEG_INF - NEG_INF) = 1 when a whole block is masked — zero the
+        # invalid lanes so a fully-masked leading block cannot pollute acc/l
+        p = jnp.where(valid != 0, jnp.exp(s - m_new), 0.0)
         v_h = v[:, kv_h * d:(kv_h + 1) * d]
         pv = jax.lax.dot_general(p.astype(v_h.dtype), v_h,
                                  (((1,), (0,)), ((), ())),

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -153,18 +154,46 @@ def _merge(dst: Any, src: Any) -> Any:
     keeping dtypes of the destination leaves. Structure-tolerant: src keys
     absent from dst are ADDED (e.g. lora_a/lora_b adapters from an
     adapter-only checkpoint overlay onto plain {w} projections — merge_lora
-    folds them afterwards); dst keys absent from src keep their init."""
-    if src is None:
-        return dst
-    if isinstance(dst, dict) and isinstance(src, dict):
-        out = {k: v for k, v in dst.items()}
-        for k, s in src.items():
-            out[k] = _merge(dst[k], s) if k in dst else _fresh(s)
-        return out
-    if isinstance(dst, (list, tuple)) and isinstance(src, (list, tuple)):
-        assert len(dst) == len(src), (len(dst), len(src))
-        return type(dst)(_merge(d, s) for d, s in zip(dst, src))
-    return jnp.asarray(src, getattr(dst, "dtype", jnp.float32))
+    folds them afterwards); dst keys absent from src keep their init.
+    Both tolerances are summarized in ONE warning each so a mistyped
+    checkpoint key cannot load "successfully" and silently leave random-init
+    weights in a slot (partial loads stay legal, just visible)."""
+    added: list = []
+    untouched: list = []
+
+    def rec(dst, src, path):
+        if src is None:
+            return dst
+        if isinstance(dst, dict) and isinstance(src, dict):
+            out = {k: v for k, v in dst.items()}
+            for k, s in src.items():
+                if k in dst:
+                    out[k] = rec(dst[k], s, f"{path}/{k}")
+                else:
+                    added.append(f"{path}/{k}")
+                    out[k] = _fresh(s)
+            untouched.extend(f"{path}/{k}" for k in dst if k not in src)
+            return out
+        if isinstance(dst, (list, tuple)) and isinstance(src, (list, tuple)):
+            assert len(dst) == len(src), (len(dst), len(src))
+            return type(dst)(rec(d, s, f"{path}[{i}]")
+                             for i, (d, s) in enumerate(zip(dst, src)))
+        if isinstance(dst, (dict, list, tuple)) != isinstance(
+                src, (dict, list, tuple)):
+            raise ValueError(
+                f"checkpoint/model structure mismatch at {path or '/'}: "
+                f"model has {type(dst).__name__}, checkpoint has "
+                f"{type(src).__name__}")
+        return jnp.asarray(src, getattr(dst, "dtype", jnp.float32))
+
+    out = rec(dst, src, "")
+    for label, paths in (("adds keys not in the model tree", added),
+                         ("leaves model subtree(s) at their init", untouched)):
+        if paths:
+            warnings.warn(f"checkpoint overlay {label} ({len(paths)}): "
+                          + ", ".join(sorted(paths)[:6])
+                          + (", ..." if len(paths) > 6 else ""))
+    return out
 
 
 def _fresh(src: Any) -> Any:
@@ -482,6 +511,69 @@ def attach_lora(llm_params: Dict, lora: Dict[str, Dict]) -> Dict:
                                                 **{k: jnp.asarray(v)
                                                    for k, v in slot.items()})
     return p
+
+
+#: find_linear_layers exclusion list (train_walkgpt.py:272-284) — names that
+#: never get adapters even if a target pattern matches. In this tree the LLM
+#: subtree contains only decoder projections, so the practical surface is the
+#: target list itself; kept for documentation parity.
+LORA_TARGET_CANON = {"q_proj": "q", "k_proj": "k", "v_proj": "v",
+                     "o_proj": "o", "q": "q", "k": "k", "v": "v", "o": "o"}
+
+
+def init_lora(llm_params: Dict, key, *, r: int = 8, alpha: float = 16.0,
+              targets=("q_proj", "v_proj"), dtype=None) -> Dict:
+    """Inject FRESH LoRA adapters into an LLM param tree — the training-time
+    counterpart of peft get_peft_model (reference train_walkgpt.py:263-305:
+    LoraConfig(r, alpha, target_modules discovered by name, bias="none")).
+
+    peft init semantics: lora_A ~ kaiming_uniform(a=sqrt(5)) over fan_in,
+    lora_B = 0 (so the adapted model starts EXACTLY equal to the base), and
+    the merged update is scaled by alpha/r. Adapters ride base weights that
+    may be dense ({"w"}) or int8-quantized ({"w_q","w_scale"}) — the low-rank
+    path stays full precision either way (models/llm.py:_proj).
+
+    targets accepts peft-style names ("q_proj") or tree names ("q")."""
+    from ..core import nn as _nn
+    canon = []
+    for t in targets:
+        t = t.strip()
+        if not t:
+            continue
+        if t not in LORA_TARGET_CANON:
+            raise ValueError(f"unsupported lora target {t!r}; expected one of "
+                             f"{sorted(set(LORA_TARGET_CANON))}")
+        canon.append(LORA_TARGET_CANON[t])
+    p = jax.tree_util.tree_map(lambda x: x, llm_params)
+    keys = jax.random.split(key, max(len(p["layers"]) * max(len(canon), 1), 1))
+    ki = 0
+    for layer in p["layers"]:
+        for name in canon:
+            proj = layer["attn"][name]
+            base = proj["w"] if "w" in proj else proj["w_q"]
+            d_in, d_out = base.shape
+            if dtype is None:
+                dtype = base.dtype if base.dtype != jnp.int8 else jnp.float32
+            layer["attn"][name] = dict(
+                proj,
+                lora_a=_nn.kaiming_uniform(keys[ki], (d_in, r), d_in, dtype),
+                lora_b=jnp.zeros((r, d_out), dtype),
+                lora_scale=jnp.asarray(float(alpha) / float(r), jnp.float32))
+            ki += 1
+    return p
+
+
+def lora_adapter_tree(llm_params: Dict) -> Dict:
+    """The adapter-only subtree ({layers: [{attn: {proj: {lora_*}}}]}) — an
+    overlay checkpoint that load_into can re-attach onto any base tree; the
+    inverse of attach_lora at the tree level."""
+    out_layers = []
+    for layer in llm_params["layers"]:
+        attn = {name: {k: v for k, v in proj.items() if k.startswith("lora_")}
+                for name, proj in layer["attn"].items()
+                if any(k.startswith("lora_") for k in proj)}
+        out_layers.append({"attn": attn} if attn else {})
+    return {"layers": out_layers}
 
 
 def merge_lora(llm_params: Dict) -> Dict:

@@ -107,8 +107,17 @@ def build_model(args, cfg):
         params = ck.load_into(params, {"sam": ck.convert_sam(
             sd, depth=cfg.sam.depth)})
     if args.projector_ckpt and os.path.exists(args.projector_ckpt):
-        sd = ck.load_torch_state_dict(args.projector_ckpt)
-        params = ck.load_into(params, {"msqp": ck.convert_msqp(sd)})
+        if os.path.isdir(args.projector_ckpt):
+            # our own stage-1 artifact (train_cli --tune_mm_adapter):
+            # {"msqp": ..., "mm_projector": ...} Orbax overlay
+            like = {"msqp": params["msqp"]}
+            if "mm_projector" in params:
+                like["mm_projector"] = params["mm_projector"]
+            overlay = ck.load_orbax(args.projector_ckpt, like=like)
+            params = ck.load_into(params, overlay)
+        else:   # reference out_mm_projector.pt
+            sd = ck.load_torch_state_dict(args.projector_ckpt)
+            params = ck.load_into(params, {"msqp": ck.convert_msqp(sd)})
     if args.weight and os.path.exists(args.weight):
         if os.path.isdir(args.weight):
             params = ck.load_orbax(args.weight, like=params)

@@ -64,8 +64,10 @@ def trainable_mask(params: Any, cfg: TrainConfig) -> Any:
             return path_str.startswith(("msqp/", "mm_projector"))
         if cfg.full_finetune and path_str.startswith("llm/"):
             return True
-        if "lora_" in path_str:
+        if "lora_a" in path_str or "lora_b" in path_str:
             return True
+        if "lora_scale" in path_str:
+            return False     # peft scale alpha/r is a constant, never trained
         if path_str.startswith(("llm/embed_tokens", "llm/lm_head")):
             return True
         if path_str.startswith("sam/mask_decoder"):

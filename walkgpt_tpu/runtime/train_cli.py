@@ -36,10 +36,36 @@ def parse_args(argv):
     p.add_argument("--vision_pretrained", default="")
     p.add_argument("--weight", default="")
     p.add_argument("--projector_ckpt", default="")
-    p.add_argument("--dataset", default="PAVE")
+    p.add_argument("--dataset", default="PAVE",
+                   help="'||'-separated task mixture, e.g. "
+                   "'PAVE||sem_seg||refer_seg||vqa||reason_seg' "
+                   "(reference train_walkgpt.py:74-83)")
+    p.add_argument("--sample_rates", default="",
+                   help="comma weights per --dataset entry (ref default 9,3,3,1)")
+    p.add_argument("--sem_seg_data",
+                   default="ade20k||cocostuff||mapillary")
+    p.add_argument("--refer_seg_data",
+                   default="refclef||refcoco||refcoco+||refcocog")
+    p.add_argument("--vqa_data", default="llava_instruct_150k")
+    p.add_argument("--reason_seg_data", default="ReasonSeg|train")
     p.add_argument("--dataset_dir", default="./datasets")
     p.add_argument("--train_split", default="train")
     p.add_argument("--val_split", default="val")
+    p.add_argument("--lora_r", default=8, type=int,
+                   help="fresh-LoRA rank injected at startup; 0 disables "
+                   "(reference train_walkgpt.py:263-305)")
+    p.add_argument("--lora_alpha", default=16.0, type=float)
+    p.add_argument("--lora_dropout", default=0.0, type=float,
+                   help="accepted for CLI parity; adapters here train without "
+                   "dropout (deterministic jit step)")
+    p.add_argument("--lora_target_modules", default="q_proj,v_proj")
+    p.add_argument("--tune_mm_adapter", action="store_true", default=False,
+                   help="LLaVA stage-1: caption pretrain of the projectors "
+                   "only (train/train.py:810-1038 tune_mm_mlp_adapter); "
+                   "writes the out_mm_projector artifact --projector_ckpt "
+                   "consumes")
+    p.add_argument("--caption_data", default="blip_laion_cc_sbu_558k.json",
+                   help="stage-1 caption json under --dataset_dir")
     p.add_argument("--image_size", default=1024, type=int)
     p.add_argument("--model_max_length", default=2048, type=int)
     p.add_argument("--conv_type", default="llava_v1")
@@ -96,12 +122,77 @@ class ScalarLogger:
 
 
 def save_projector(params, out_dir: str, fname: str = "out_mm_projector") -> str:
-    """Projector-only checkpoint (save_out_mm_projector equivalent)."""
+    """Projector-only checkpoint (save_out_mm_projector equivalent,
+    utils/utils_walkgpt.py:360-371). Saves the MSQP and, when present, the
+    CLIP-side mm_projector — the two artifacts stage-1 pretraining produces
+    (mm_projector.bin + out_mm_projector.pt) in one overlay tree that
+    evaluate.build_model --projector_ckpt re-attaches."""
     from . import checkpoint as ck
     path = os.path.join(out_dir, fname)
-    ck.save_orbax(path, params["msqp"])
+    tree = {"msqp": params["msqp"]}
+    if "mm_projector" in params:
+        tree["mm_projector"] = params["mm_projector"]
+    ck.save_orbax(path, tree)
     print(f"[save] wrote projector weights to {path}")
     return path
+
+
+def build_train_dataset(args, cfg, *, samples_per_epoch: int):
+    """The reference's '||' task-mixture DSL -> HybridDataset
+    (train_walkgpt.py:74-83, utils/dataset.py:202-397). A PAVE-only spec
+    returns the deterministic-length PAVEDataset directly (the 'Hui fix'
+    epoch semantics)."""
+    from ..data.pave import PAVEDataset
+    from ..data import seg_datasets as sd
+
+    names = [n for n in args.dataset.split("||") if n]
+    image_size = min(args.image_size, cfg.sam.img_size)
+    common = dict(image_size=image_size, pad_size=cfg.sam.img_size,
+                  samples_per_epoch=samples_per_epoch, seed=args.seed)
+
+    def build_pave():
+        jsonl = os.path.join(args.dataset_dir, f"{args.train_split}.jsonl")
+        if not os.path.exists(jsonl):
+            # the public train manifest is an LFS blob in some checkouts; fall
+            # back to the val manifest for pipeline-level runs
+            fallback = os.path.join(args.dataset_dir, f"{args.val_split}.jsonl")
+            print(f"[warn] {jsonl} missing; using {fallback}")
+            jsonl = fallback
+        labelmap = os.path.join(args.dataset_dir, "labelmap.json")
+        return PAVEDataset(jsonl, labelmap, image_size=image_size,
+                           pad_size=cfg.sam.img_size,
+                           samples_per_epoch=samples_per_epoch, seed=args.seed)
+
+    builders = {
+        "PAVE": build_pave,
+        "sem_seg": lambda: sd.SemSegDataset(
+            args.dataset_dir, sem_seg_data=args.sem_seg_data, **common),
+        "refer_seg": lambda: sd.ReferSegDataset(
+            args.dataset_dir, refer_seg_data=args.refer_seg_data, **common),
+        "vqa": lambda: sd.VQADataset(
+            args.dataset_dir, vqa_data=args.vqa_data, **common),
+        "reason_seg": lambda: sd.ReasonSegDataset(
+            args.dataset_dir, reason_seg_data=args.reason_seg_data, **common),
+        "multi_reason_seg": lambda: sd.MultiReasonSegDataset(
+            args.dataset_dir, **common),
+    }
+    unknown = [n for n in names if n not in builders]
+    if unknown:
+        raise ValueError(f"unknown --dataset entries {unknown}; "
+                         f"supported: {sorted(builders)}")
+    rates = None
+    if args.sample_rates and names != ["PAVE"]:
+        rates = [float(x) for x in args.sample_rates.split(",")]
+        if len(rates) != len(names):
+            raise ValueError(
+                f"--sample_rates has {len(rates)} weights for "
+                f"{len(names)} datasets ({names})")
+    datasets = {n: builders[n]() for n in names}
+    if names == ["PAVE"]:
+        return datasets["PAVE"]
+    return sd.HybridDataset(datasets, sample_rate=rates,
+                            samples_per_epoch=samples_per_epoch,
+                            seed=args.seed)
 
 
 def main(argv=None):
@@ -118,6 +209,7 @@ def main(argv=None):
     from ..data import conversation as conv_lib
     from ..data.collate import collate_batch
     from ..data.pave import PAVEDataset
+    from ..data.seg_datasets import CaptionPretrainDataset
     from ..data.tokenizer import build_tokenizer, setup_walkgpt_tokens
     from ..eval.metrics import AverageMeter
     from ..models import walkgpt
@@ -127,6 +219,10 @@ def main(argv=None):
     from . import train as tr
     from .evaluate import build_config, build_model, validate
 
+    if args.tune_mm_adapter:
+        # LLaVA stage-1 trains under the plain template (preprocess_plain)
+        args.conv_type = "plain"
+        args.no_eval = True          # mask metrics are meaningless on captions
     conv_lib.set_default_conversation(args.conv_type)
     tokenizer = build_tokenizer(args.version or None,
                                 model_max_length=args.model_max_length)
@@ -138,25 +234,40 @@ def main(argv=None):
         bce=args.bce_loss_weight, nce=args.nce_loss_weight))
     params = build_model(args, cfg)
 
-    jsonl = os.path.join(args.dataset_dir, f"{args.train_split}.jsonl")
-    if not os.path.exists(jsonl):
-        # the public train manifest is an LFS blob in some checkouts; fall back
-        # to the val manifest for pipeline-level runs (documented degradation)
-        fallback = os.path.join(args.dataset_dir, f"{args.val_split}.jsonl")
-        print(f"[warn] {jsonl} missing; using {fallback}")
-        jsonl = fallback
-    labelmap = os.path.join(args.dataset_dir, "labelmap.json")
-    dataset = PAVEDataset(
-        jsonl, labelmap, image_size=min(args.image_size, cfg.sam.img_size),
-        pad_size=cfg.sam.img_size,
-        samples_per_epoch=args.steps_per_epoch * args.batch_size
-        * args.grad_accumulation_steps, seed=args.seed)
+    if args.lora_r > 0 and not args.tune_mm_adapter:
+        has_lora = any("lora_a" in proj
+                       for layer in params["llm"]["layers"]
+                       for proj in layer["attn"].values())
+        if has_lora:
+            print("[lora] checkpoint already carries adapters; keeping them")
+        else:
+            params["llm"] = ck.init_lora(
+                params["llm"], jax.random.PRNGKey(args.seed + 1),
+                r=args.lora_r, alpha=args.lora_alpha,
+                targets=args.lora_target_modules.split(","))
+            print(f"[lora] injected fresh r={args.lora_r} adapters on "
+                  f"{args.lora_target_modules}")
+            if args.lora_dropout:
+                print("[lora] note: --lora_dropout accepted but not applied "
+                      "(deterministic jit train step)")
+
+    per_epoch = (args.steps_per_epoch * args.batch_size
+                 * args.grad_accumulation_steps)
+    if args.tune_mm_adapter:
+        dataset = CaptionPretrainDataset(
+            args.dataset_dir, json_name=args.caption_data,
+            image_size=min(args.image_size, cfg.sam.img_size),
+            pad_size=cfg.sam.img_size, samples_per_epoch=per_epoch,
+            seed=args.seed)
+    else:
+        dataset = build_train_dataset(args, cfg, samples_per_epoch=per_epoch)
 
     tcfg = tr.TrainConfig(
         lr=args.lr, warmup_steps=args.warmup_num_steps,
         total_steps=args.epochs * args.steps_per_epoch,
         grad_accum=args.grad_accumulation_steps,
-        train_mask_decoder=args.train_mask_decoder)
+        train_mask_decoder=args.train_mask_decoder,
+        tune_projector_only=args.tune_mm_adapter)
     state, opt = tr.init_state(params, tcfg)
 
     ckpt_root = os.path.join(log_dir, "ckpt_model")
@@ -259,7 +370,9 @@ def main(argv=None):
 
         if not args.no_eval:
             val_jsonl = os.path.join(args.dataset_dir, f"{args.val_split}.jsonl")
-            val_ds = PAVEDataset(val_jsonl, labelmap,
+            val_ds = PAVEDataset(val_jsonl,
+                                 os.path.join(args.dataset_dir,
+                                              "labelmap.json"),
                                  image_size=min(args.image_size,
                                                 cfg.sam.img_size),
                                  pad_size=cfg.sam.img_size, is_val=True)
