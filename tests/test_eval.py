@@ -330,3 +330,55 @@ def test_ar_validate_cli_smoke(tmp_path):
     assert len(records) == 1
     assert records[0]["gt_count"] == 2
     assert "answer" in records[0]
+
+
+def test_eval_cli_batched_and_clip_stream(tmp_path):
+    """--val_batch_size batches BOTH eval passes and --visual_stream clip
+    routes generation through the CLIP-448 tower + mm_projector (WART-4's
+    second stream, model/walkgpt.py:629-637 intent)."""
+    import os
+    if not os.path.exists("/root/reference/datasets/val.jsonl"):
+        pytest.skip("reference manifest absent")
+    from walkgpt_tpu.runtime.evaluate import main
+    out = str(tmp_path / "responses.json")
+    res = main(["--val_dataset", "PAVE|val",
+                "--dataset_dir", "/root/reference/datasets",
+                "--model_size", "tiny", "--max_samples", "3",
+                "--val_batch_size", "2",
+                "--max_new_tokens", "4", "--precision", "fp32",
+                "--no_console_text",
+                "--save_responses_path", out])
+    assert res["images_per_sec"] > 0
+    import json
+    data = json.load(open(out))
+    assert len(data) == 3
+    # every record got a real per-image path (no row/image misalignment)
+    assert all(d["image_path"] for d in data)
+
+    res_clip = main(["--val_dataset", "PAVE|val",
+                     "--dataset_dir", "/root/reference/datasets",
+                     "--model_size", "tiny", "--max_samples", "2",
+                     "--val_batch_size", "2", "--visual_stream", "clip",
+                     "--max_new_tokens", "4", "--precision", "fp32",
+                     "--no_console_text"])
+    assert set(res_clip) >= {"giou", "ciou", "ap50"}
+
+
+def test_clip_visual_tokens_shapes_and_mask():
+    """clip_visual_tokens: tower tokens -> 16x16-equivalent LLM grid + the
+    nearest-downsampled validity mask (llava_arch.py:176-181, 251-259)."""
+    import jax
+    import jax.numpy as jnp
+    from walkgpt_tpu.core.config import tiny_config
+    from walkgpt_tpu.models import walkgpt
+
+    cfg = tiny_config()
+    params = walkgpt.init(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.zeros((2, cfg.clip.image_size, cfg.clip.image_size, 3))
+    hw = jnp.array([[28, 28], [14, 28]])   # second image: bottom half padded
+    toks, llm_mask = walkgpt.clip_visual_tokens(params, cfg, imgs, hw)
+    assert toks.shape == (2, cfg.visual_tokens, cfg.llm.hidden_size)
+    assert llm_mask.shape == (2, cfg.visual_tokens)
+    m = np.asarray(llm_mask).reshape(2, cfg.visual_grid, cfg.visual_grid)
+    assert m[0].all()                      # full image: all tokens valid
+    assert m[1, :2].all() and not m[1, 2:].any()   # half-pad: bottom rows off

@@ -303,6 +303,49 @@ def _cache_kv(kv_cache: Params, i, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return k, v
 
 
+def _int8_kv_decode_attention(q, k_q, ks, v_q, vs, key_mask, bias=None):
+    """One-token attention over an int8 KV cache WITHOUT materializing a
+    dequantized copy (the round-2 perf trap: _cache_kv wrote + re-read a full
+    bf16 cache image per layer per step, models/llm.py r2:293-301).
+
+    Scale folding: with per-row (token) symmetric scales,
+        s[l]   = q . (k_q[l] * ks[l])  =  (q . k_q[l]) * ks[l]
+        out[d] = sum_l p[l] * vs[l] * v_q[l, d]
+    so both contractions run with the int8 tensor as a direct dot operand
+    (XLA fuses the int8->bf16 convert into the dot read — the same pattern
+    the weight-only int8 path relies on) and the scales apply OUTSIDE the
+    dot. Cache HBM traffic halves vs a bf16 cache; numerics match _cache_kv
+    up to float reassociation.
+
+    q: [B, H, 1, D] (pre-scaled by caller? no — scaled here);
+    k_q/v_q: [B, n_kv, L, D] int8; ks/vs: [B, n_kv, L, 1] f32;
+    key_mask: [B, L] bool. Returns [B, H, 1, D] in q.dtype.
+    GQA: query head h reads kv head h // (H / n_kv)."""
+    b, h, _, d = q.shape
+    n_kv = k_q.shape[1]
+    n_rep = h // n_kv
+    scale = 1.0 / math.sqrt(d)
+    qg = (q * scale).reshape(b, n_kv, n_rep, d)
+    # [B, n_kv, n_rep, L] — contract D, batch (B, n_kv)
+    s = jax.lax.dot_general(
+        qg, k_q.astype(qg.dtype),
+        (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    s = s * jnp.swapaxes(ks, 2, 3)               # [B, n_kv, 1, L] row scales
+    if bias is not None:                         # ALiBi [B, H, 1, L]
+        l = k_q.shape[2]
+        s = s + bias.reshape(b, n_kv, n_rep, l)
+    s = jnp.where(key_mask[:, None, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    pv = (p * jnp.swapaxes(vs, 2, 3)).astype(q.dtype)   # fold v scales into p
+    # [B, n_kv, n_rep, D] — contract L, batch (B, n_kv)
+    out = jax.lax.dot_general(
+        pv, v_q.astype(pv.dtype),
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    return out.reshape(b, h, 1, d).astype(q.dtype)
+
+
 # ---------------------------------------------------------------------------
 # forward passes
 # ---------------------------------------------------------------------------
@@ -444,23 +487,29 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
             continue
         if quant:
-            kq, ks = _quant_rows(k1[:, :, 0])
-            vq, vs = _quant_rows(v1[:, :, 0])
+            kq, ksc = _quant_rows(k1[:, :, 0])
+            vq, vsc = _quant_rows(v1[:, :, 0])
             out_cache["k"] = out_cache["k"].at[i, batch_idx, :, cache_len].set(kq)
             out_cache["v"] = out_cache["v"].at[i, batch_idx, :, cache_len].set(vq)
             out_cache["k_scale"] = out_cache["k_scale"].at[
-                i, batch_idx, :, cache_len].set(ks)
+                i, batch_idx, :, cache_len].set(ksc)
             out_cache["v_scale"] = out_cache["v_scale"].at[
-                i, batch_idx, :, cache_len].set(vs)
+                i, batch_idx, :, cache_len].set(vsc)
+            # scale-folded attention straight over the int8 cache — no
+            # dequantized cache image is ever materialized
+            att = _int8_kv_decode_attention(
+                q, out_cache["k"][i], out_cache["k_scale"][i],
+                out_cache["v"][i], out_cache["v_scale"][i], key_mask,
+                bias=bias)
         else:
             out_cache["k"] = out_cache["k"].at[i, batch_idx, :, cache_len].set(
                 k1[:, :, 0].astype(out_cache["k"].dtype))
             out_cache["v"] = out_cache["v"].at[i, batch_idx, :, cache_len].set(
                 v1[:, :, 0].astype(out_cache["v"].dtype))
-        k_cache, v_cache = _cache_kv(out_cache, i, q.dtype)
-        n_rep = cfg.num_heads // cfg.num_kv_heads
-        att = mha(q, _repeat_kv(k_cache, n_rep), _repeat_kv(v_cache, n_rep),
-                  mask=key_mask[:, None, None, :], bias=bias)
+            k_cache, v_cache = _cache_kv(out_cache, i, q.dtype)
+            n_rep = cfg.num_heads // cfg.num_kv_heads
+            att = mha(q, _repeat_kv(k_cache, n_rep), _repeat_kv(v_cache, n_rep),
+                      mask=key_mask[:, None, None, :], bias=bias)
         x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
         x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
     x = _norm(params["final_norm"], x, cfg)

@@ -126,12 +126,16 @@ class Spliced(NamedTuple):
 def splice_visual(params, cfg: WalkGPTConfig, input_ids: jnp.ndarray,
                   vis_tokens: jnp.ndarray,
                   attention_mask: Optional[jnp.ndarray] = None,
-                  labels: Optional[jnp.ndarray] = None) -> Spliced:
+                  labels: Optional[jnp.ndarray] = None,
+                  vis_mask: Optional[jnp.ndarray] = None) -> Spliced:
     """Vectorized, static-shape replacement for the reference's per-row python
     splice (llava_arch.py:213-518). Each row's single IMAGE_TOKEN_INDEX
     sentinel is replaced by `visual_tokens` embeddings (+V-1 net growth).
     Rows without a sentinel get the visual block appended after their last
-    real token with attention masked off (text-only VQA rows)."""
+    real token with attention masked off (text-only VQA rows).
+    vis_mask [R, V] (optional): per-visual-token validity — the CLIP pixel
+    path's 16x16 padding mask (vit_attention_mask_for_llm,
+    llava_arch.py:176-181) masking padded patch positions out of attention."""
     r, t = input_ids.shape
     v = cfg.visual_tokens
     out_len = t - 1 + v
@@ -166,7 +170,10 @@ def splice_visual(params, cfg: WalkGPTConfig, input_ids: jnp.ndarray,
 
     attn_tok = jnp.take_along_axis(attention_mask, tok_idx, axis=1)
     # visual block attended only when the row really has an image
-    attn = jnp.where(inside, has_img[:, None], attn_tok)
+    vis_ok = has_img[:, None]
+    if vis_mask is not None:
+        vis_ok = vis_ok & jnp.take_along_axis(vis_mask, vis_idx, axis=1)
+    attn = jnp.where(inside, vis_ok, attn_tok)
 
     labels_out = None
     if labels is not None:
@@ -427,18 +434,40 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
                          max_segs: int,
                          eos_id: int,
                          flash_fn=None,
+                         images_clip: Optional[jnp.ndarray] = None,
+                         clip_resize_hw: Optional[jnp.ndarray] = None,
+                         visual_stream: str = "sam",
                          ) -> EvaluateOutput:
     """The `evaluate` pipeline (model/walkgpt.py:607-746), one compiled graph:
-    greedy decode from SAM-MSQP visual tokens, extract [SEG] predictor hidden
-    states, CTP-project, decode masks against the SAM features."""
+    greedy decode from visual tokens, extract [SEG] predictor hidden states,
+    CTP-project, decode masks against the SAM features.
+
+    visual_stream selects WART-4's two generation-time streams:
+      "sam"  — SAM-MSQP tokens (generate_predictions_from_questions,
+               evaluation_walkgpt.py:535-577; the PAVE validate route);
+      "clip" — CLIP-448 pixels through the tower + mm_projector
+               (evaluate()'s images_clip path, model/walkgpt.py:629-637).
+    Either way the MASK decode uses the genuine SAM features from `images`
+    (get_visual_embs, model/walkgpt.py:713-743)."""
     if flash_fn is None and cfg.use_flash_attention:
         from ..ops.flash_attention import flash_attention
         flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
                                                        key_valid=kv)
     feats, sam_tokens = encode_sam(params, cfg, images)
-    vis_rows = visual_tokens(params, cfg, sam_tokens)[row_image_idx]
+    vis_mask_rows = None
+    if visual_stream == "clip":
+        assert images_clip is not None, "clip stream needs images_clip"
+        clip_toks, llm_mask = clip_visual_tokens(params, cfg, images_clip,
+                                                 clip_resize_hw)
+        vis_rows = clip_toks[row_image_idx]
+        if llm_mask is not None:
+            vis_mask_rows = llm_mask[row_image_idx]
+    else:
+        assert visual_stream == "sam", visual_stream
+        vis_rows = visual_tokens(params, cfg, sam_tokens)[row_image_idx]
     sp = splice_visual(params, cfg, input_ids, vis_rows,
-                       attention_mask=attention_mask)
+                       attention_mask=attention_mask,
+                       vis_mask=vis_mask_rows)
     res: GenerateResult = greedy_generate(
         params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
         max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
@@ -524,7 +553,14 @@ def encode_clip_tokens(params, cfg: WalkGPTConfig, images_clip: jnp.ndarray, *,
                        attention_mask: Optional[jnp.ndarray] = None,
                        clip_resize_hw: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """CLIP pixel path (encode_images mode b). When clip_resize_hw is given,
-    padding masks are derived from it (the reference's vit_attention_mask)."""
+    padding masks are derived from it (the reference's vit_attention_mask).
+
+    Note the mm_projector: the reference's current code returns the RAW tower
+    features (the projector application at llava_arch.py:118-122 is commented
+    out), which cannot splice into an H_llm timeline — the as-written CLIP
+    generation stream would crash on the torch.cat. We implement the intended
+    transform (tower -> mm_projector -> H_llm), consistent with WART-5
+    behave-as-intended policy."""
     assert cfg.clip is not None and "clip" in params, "CLIP tower not built"
     if attention_mask is None and clip_resize_hw is not None:
         attention_mask, _ = clip_padding_masks(cfg, clip_resize_hw)
@@ -532,3 +568,26 @@ def encode_clip_tokens(params, cfg: WalkGPTConfig, images_clip: jnp.ndarray, *,
                         attention_mask=attention_mask)
     feats, _aux = clip_vit.select_features(hs, cfg.clip)
     return nn.linear(params["mm_projector"], feats)
+
+
+def clip_visual_tokens(params, cfg: WalkGPTConfig, images_clip: jnp.ndarray,
+                       clip_resize_hw: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """CLIP pixels -> spliceable LLM tokens: tower(+padding mask) ->
+    mm_projector -> bilinear downsample of the patch grid to the 16x16
+    visual grid (llava_arch.py:251-259), plus the LLM-side validity mask
+    (vit_attention_mask_for_llm, :176-181).
+
+    Returns (tokens [B, visual_tokens, H], llm_mask [B, visual_tokens] bool
+    or None when no resize list given)."""
+    toks = encode_clip_tokens(params, cfg, images_clip,
+                              clip_resize_hw=clip_resize_hw)
+    b, l, h = toks.shape
+    g = int(round(l ** 0.5))
+    assert g * g == l, f"CLIP token count {l} is not square"
+    t = cfg.visual_grid
+    grid = bilinear_resize(toks.reshape(b, g, g, h), (t, t))
+    llm_mask = None
+    if clip_resize_hw is not None:
+        _, llm_mask = clip_padding_masks(cfg, clip_resize_hw)
+    return grid.reshape(b, t * t, h), llm_mask

@@ -69,7 +69,15 @@ def parse_args(argv):
     p.add_argument("--seg_token_num", default=1, type=int)
     p.add_argument("--image_feature_scale_num", default=1, type=int)
     p.add_argument("--max_new_tokens", default=512, type=int)
-    p.add_argument("--val_batch_size", default=1, type=int)
+    p.add_argument("--val_batch_size", default=1, type=int,
+                   help="images per device batch for BOTH the teacher-forced "
+                        "and generation passes (the north-star streaming "
+                        "throughput path)")
+    p.add_argument("--visual_stream", default="sam", choices=["sam", "clip"],
+                   help="generation-time visual stream (WART-4): 'sam' = "
+                        "SAM-MSQP tokens (evaluation_walkgpt.py:535-577), "
+                        "'clip' = CLIP-448 pixels -> mm_projector "
+                        "(model/walkgpt.py:629-637 intent)")
     p.add_argument("--max_samples", default=-1, type=int,
                    help="limit evaluated samples (smoke runs)")
     p.add_argument("--log_base_dir", default="./runs")
@@ -150,7 +158,16 @@ def _question_prompts(batch, conv_type: str, use_mm_start_end: bool):
         if not isinstance(q_entry, (list, tuple)):
             q_entry = [q_entry]
         for j in range(offset[idx + 1] - offset[idx]):
-            question = str(q_entry[j]) if j < len(q_entry) else ""
+            if j < len(q_entry):
+                question = str(q_entry[j])
+            else:
+                import warnings
+                warnings.warn(
+                    f"questions payload has {len(q_entry)} entries for "
+                    f"{offset[idx + 1] - offset[idx]} conversation rows "
+                    f"(image {idx}); generating from an EMPTY prompt for "
+                    f"row {j}")
+                question = ""
             q_clean = question.replace(conv_lib.DEFAULT_IMAGE_TOKEN, "").strip()
             questions.append(q_clean)
             conv = conv_lib.conv_templates[conv_type].copy()
@@ -203,14 +220,16 @@ def _jit_caches(cfg):
         return jax.jit(f)
 
     @functools.lru_cache(maxsize=16)
-    def gen(max_new_tokens, max_segs, eos_id):
+    def gen(max_new_tokens, max_segs, eos_id, visual_stream="sam"):
         def g(params, images, input_ids, attention_mask, row_image_idx,
-              pixel_hw):
+              pixel_hw, images_clip=None, clip_resize_hw=None):
             return walkgpt.generate_and_segment(
                 params, cfg, images=images, input_ids=input_ids,
                 attention_mask=attention_mask, row_image_idx=row_image_idx,
                 pixel_hw=pixel_hw, max_new_tokens=max_new_tokens,
-                max_segs=max_segs, eos_id=eos_id)
+                max_segs=max_segs, eos_id=eos_id,
+                images_clip=images_clip, clip_resize_hw=clip_resize_hw,
+                visual_stream=visual_stream)
         return jax.jit(g)
 
     return fwd, gen
@@ -235,65 +254,100 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
     n = len(dataset) if args.max_samples < 0 else min(args.max_samples,
                                                       len(dataset))
     sid = cfg.seg_token_id
+    bs = max(1, int(getattr(args, "val_batch_size", 1)))
+    stream = getattr(args, "visual_stream", "sam")
 
-    def load(i):
-        sample = dataset[i]
-        batch = collate_batch([sample], tokenizer,
+    def load(group):
+        samples = [dataset[i] for i in group]
+        batch = collate_batch(samples, tokenizer,
                               conv_type=args.conv_type,
                               use_mm_start_end=args.use_mm_start_end)
         db = prepare_batch(batch, img_size=cfg.sam.img_size,
                            seg_token_id=sid)
-        return sample, batch, db
+        return samples, batch, db
 
     # per-process strided shard (the DistributedSampler equivalent,
-    # evaluation_walkgpt.py:393-401) + 2-deep host prefetch overlapping
-    # image preprocessing with device steps
-    for sample, batch, db in prefetch_map(load, shard_indices(n), depth=2):
+    # evaluation_walkgpt.py:393-401) chunked into --val_batch_size groups,
+    # with a 2-deep host prefetch overlapping preprocessing and device steps
+    shard = shard_indices(n)
+    groups = [shard[i:i + bs] for i in range(0, len(shard), bs)]
+    import time as _time
+    t_wall = _time.perf_counter()
+    n_images = 0
+    for samples, batch, db in prefetch_map(load, groups, depth=2):
+        n_images += len(samples)
         # 1. teacher-forced mask metrics (jitted per shape bucket)
         out = fwd_cache(db.max_segs)(
             params, jnp.asarray(db.images), jnp.asarray(db.input_ids),
             jnp.asarray(db.labels), jnp.asarray(db.attention_mask),
             jnp.asarray(db.row_image_idx), jnp.asarray(db.gt_masks),
             jnp.asarray(db.pixel_hw))
-        n_valid = int(out.seg_valid.sum())
-        pred = np.asarray(out.pred_masks[:n_valid])
-        gt = np.asarray(db.gt_masks[:n_valid])
-        h, w = db.resize_list[0]
-        for m in range(min(n_valid, sample.masks.shape[0])):
-            acc.add_mask((pred[m, :h, :w] > 0).astype(np.int64),
-                         gt[m, :h, :w].astype(np.int64))
+        seg_valid = np.asarray(out.seg_valid).astype(bool)
+        seg_img = np.asarray(db.row_image_idx)[np.asarray(out.seg_rows)]
+        pred = np.asarray(out.pred_masks)
+        gt = np.asarray(db.gt_masks)
+        used = [0] * len(samples)
+        for k in range(pred.shape[0]):
+            if not seg_valid[k]:
+                continue
+            img = int(seg_img[k])
+            if used[img] >= samples[img].masks.shape[0]:
+                continue
+            used[img] += 1
+            h, w = db.resize_list[img]
+            acc.add_mask((pred[k, :h, :w] > 0).astype(np.int64),
+                         gt[k, :h, :w].astype(np.int64))
 
-        # 2. generated answers for the response dump
+        # 2. generated answers for the response dump (one prompt per
+        # conversation row across the whole batch, rows map to images via
+        # the same offset structure as the teacher-forced pass)
         prompts, questions = _question_prompts(batch, args.conv_type,
                                                args.use_mm_start_end)
         rows = [tokenizer_image_token(p, tokenizer, return_np=True)
                 for p in prompts]
         ids_p = _pad_prompt_rows(rows, tokenizer.pad_token_id)
+        clip_kw = {}
+        if stream == "clip":
+            clip_kw = dict(
+                images_clip=jnp.asarray(batch["images_clip"]),
+                clip_resize_hw=jnp.asarray(
+                    np.asarray(batch["clip_resize_list"], np.int64)))
         ev = gen_cache(args.max_new_tokens, db.max_segs,
-                       tokenizer.eos_token_id)(
+                       tokenizer.eos_token_id, stream)(
             params, jnp.asarray(db.images), jnp.asarray(ids_p),
             jnp.asarray(ids_p != tokenizer.pad_token_id),
-            jnp.asarray(db.row_image_idx), jnp.asarray(db.pixel_hw))
+            jnp.asarray(db.row_image_idx), jnp.asarray(db.pixel_hw),
+            **clip_kw)
         toks = np.asarray(ev.tokens)
         lens = np.asarray(ev.lengths)
+        offset = np.asarray(batch["offset"]).tolist()
+        row_img = np.asarray(db.row_image_idx)
         for j, q in enumerate(questions):
+            img = int(row_img[j]) if j < len(row_img) else 0
             answer = decode_answer(tokenizer, toks[j], int(lens[j]))
             line = f"Question: {q} | Answer: {answer}"
+            image_path = (db.image_paths[img] if img < len(db.image_paths)
+                          else "")
             if not args.no_console_text:
-                logger(f"[val text] image={db.image_paths[0]}, sample={j} {line}")
-            text_log.append({"image_path": db.image_paths[0],
-                             "response": line})
+                logger(f"[val text] image={image_path}, sample={j} {line}")
+            text_log.append({"image_path": image_path, "response": line})
             # depth-text accuracy vs the GT answer's [distance] block
-            gt_text = (sample.conversations[j]
-                       if j < len(sample.conversations) else "")
+            local_j = j - offset[img]
+            convs = samples[img].conversations
+            gt_text = convs[local_j] if 0 <= local_j < len(convs) else ""
             gt_depth = parse_distance_block(gt_text)
             if gt_depth:
                 depth.update(answer, gt_depth)
 
+    wall = _time.perf_counter() - t_wall
+    if n_images:
+        logger(f"[val] {n_images} images in {wall:.1f}s = "
+               f"{n_images / wall:.3f} img/s (batch {bs}, stream {stream})")
     acc.all_reduce()
     depth.all_reduce()
     res = acc.results()
     res.update(depth.results())
+    res["images_per_sec"] = (n_images / wall) if n_images else 0.0
     logger(format_metric_line(args.val_dataset, res))
     return res, text_log
 
@@ -422,7 +476,9 @@ def main(argv=None):
         dataset = PAVEDataset(jsonl, labelmap,
                               image_size=min(args.image_size, cfg.sam.img_size),
                               pad_size=cfg.sam.img_size,
-                              is_val=True, seg_token_num=args.seg_token_num)
+                              is_val=True, seg_token_num=args.seg_token_num,
+                              clip_image_size=(cfg.clip.image_size
+                                               if cfg.clip else 448))
 
     # parameter/FLOPs banner (evaluation_walkgpt.py:999-1015)
     from ..core import nn

@@ -41,19 +41,30 @@ from ..models import llm
 class Finished:
     request_id: int
     tokens: List[int]
+    # [SEG]-position predictor hidden states [n_seg, H] (final-norm, pos-1
+    # semantics like GenerateResult.pred_hidden) — populated when the batcher
+    # was built with seg_token_ids; feeds CTP -> sam.decode_masks so
+    # slot-refill serving drives the FULL pipeline (model/walkgpt.py:607-746)
+    seg_hidden: Optional[np.ndarray] = None
 
 
 class ContinuousBatcher:
-    """Greedy decode over a stream of (already spliced) prompt embeddings.
+    """Greedy decode over a stream of prompts — token ids via run(), or
+    pre-spliced prompt embeddings (the WalkGPT visual-splice timeline) via
+    run(prompt_embeds=...).
 
     Prompts are bucketed to `prompt_len`; generation budget is
     `max_new_tokens` per request; `segment` decode steps run between host
-    refill points."""
+    refill points. With `seg_token_ids` set, the engine keeps every step's
+    predictor hidden state in an on-device ring buffer and harvests the
+    [SEG]-position hidden states of each finished request (a [max_segs, H]
+    gather per request, not a full-trace readback)."""
 
     def __init__(self, params, cfg: LLMConfig, *, batch_size: int = 8,
                  prompt_len: int = 512, max_new_tokens: int = 128,
                  segment: int = 32, eos_id: int = 2, pad_id: int = 0,
-                 flash_fn=None):
+                 flash_fn=None, seg_token_ids: Optional[Sequence[int]] = None,
+                 max_segs_per_answer: int = 16):
         self.params = params
         self.cfg = cfg
         self.B = batch_size
@@ -65,6 +76,10 @@ class ContinuousBatcher:
         self.max_len = prompt_len + max_new_tokens
         self._flash_fn = flash_fn
         self.dtype = params["embed_tokens"]["w"].dtype
+        self.seg_ids = tuple(int(s) for s in seg_token_ids) if seg_token_ids \
+            else ()
+        self.collect_hidden = bool(self.seg_ids)
+        self.max_segs = max_segs_per_answer
         self._build()
 
     # ------------------------------------------------------------------ jits
@@ -73,9 +88,9 @@ class ContinuousBatcher:
         max_len = self.max_len
 
         def admit_row(params, pool_k, pool_v, cur_tok, cache_len, done,
-                      ids, mask, slot):
-            """Prefill one prompt and install it into `slot` — one dispatch."""
-            embeds = llm.embed(params, ids).astype(pool_k.dtype)
+                      hid_buf, cnt, embeds, mask, slot):
+            """Prefill one (pre-embedded, possibly visual-spliced) prompt and
+            install it into `slot` — one dispatch."""
             cache = llm.init_kv_cache(cfg, 1, P, dtype=pool_k.dtype)
             hidden, cache = llm.forward(params, cfg, embeds,
                                         attention_mask=mask, kv_cache=cache,
@@ -95,15 +110,23 @@ class ContinuousBatcher:
             cur_tok = cur_tok.at[slot].set(tok)
             cache_len = cache_len.at[slot].set(length)
             done = done.at[slot].set(False)
-            return pool_k, pool_v, cur_tok, cache_len, done
+            if self.collect_hidden:
+                # hid_buf[slot, i] = hidden that PREDICTED generated token i;
+                # token 0 comes from the prefill's last hidden state
+                hid_buf = hid_buf.at[slot, 0].set(last.astype(hid_buf.dtype))
+                cnt = cnt.at[slot].set(0)
+            return pool_k, pool_v, cur_tok, cache_len, done, hid_buf, cnt
 
         self._admit_row = jax.jit(admit_row)
+        self._embed = jax.jit(lambda p, ids: llm.embed(p, ids).astype(self.dtype))
 
-        def decode_segment(params, pool_k, pool_v, cur_tok, cache_len, done):
+        def decode_segment(params, pool_k, pool_v, cur_tok, cache_len, done,
+                           hid_buf, cnt):
             key_pos = jnp.arange(max_len, dtype=jnp.int32)[None]
+            batch_idx = jnp.arange(B)
 
             def step(carry, _):
-                pk, pv, tok, clen, dn = carry
+                pk, pv, tok, clen, dn, hb, ct = carry
                 emit = jnp.where(dn, jnp.int32(self.pad_id), tok)
                 emit_valid = ~dn
                 dn = dn | (tok == self.eos_id)
@@ -116,10 +139,17 @@ class ContinuousBatcher:
                 nxt = jnp.argmax(logits, -1).astype(jnp.int32)
                 nxt = jnp.where(dn, jnp.int32(self.pad_id), nxt)
                 clen = jnp.where(dn, clen, clen + 1)
-                return (cache["k"], cache["v"], nxt, clen, dn), \
+                ct2 = jnp.where(emit_valid, ct + 1, ct)
+                if self.collect_hidden:
+                    # this step's hidden predicts token #ct2; ring position
+                    # N is the overflow sink (beyond every budget)
+                    idx = jnp.minimum(ct2, self.N)
+                    hb = hb.at[batch_idx, idx].set(
+                        hidden[:, 0].astype(hb.dtype))
+                return (cache["k"], cache["v"], nxt, clen, dn, hb, ct2), \
                     (emit, emit_valid)
 
-            carry = (pool_k, pool_v, cur_tok, cache_len, done)
+            carry = (pool_k, pool_v, cur_tok, cache_len, done, hid_buf, cnt)
             carry, (toks, valid) = jax.lax.scan(step, carry, None, length=K)
             # one packed host readback: [B, K] tokens, [B, K] valid, [B] done
             packed = jnp.concatenate(
@@ -129,22 +159,42 @@ class ContinuousBatcher:
 
         self._decode_segment = jax.jit(decode_segment)
 
+        def gather_hidden(hid_buf, slot, idx):
+            """[max_segs] positions of one slot's ring -> [max_segs, H]."""
+            return jnp.take(jnp.take(hid_buf, slot, axis=0), idx, axis=0)
+
+        self._gather_hidden = jax.jit(gather_hidden)
+
     # ----------------------------------------------------------------- host
-    def _bucket(self, ids: Sequence[int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        ids = list(ids)[: self.P]
+    def _bucket_embeds(self, req) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One request -> ([1, P, H] embeds, [1, P] mask). A request is either
+        a token-id sequence (embedded on device) or a pre-spliced [T, H]
+        embedding timeline (the WalkGPT visual-splice output)."""
+        a = np.asarray(req)
+        if a.ndim == 2:                           # [T, H] embeddings
+            t = min(a.shape[0], self.P)
+            mask = np.zeros((1, self.P), bool)
+            mask[0, :t] = True
+            out = np.zeros((1, self.P, a.shape[1]), np.float32)
+            out[0, :t] = a[:t]
+            return jnp.asarray(out, self.dtype), jnp.asarray(mask)
+        ids = list(req)[: self.P]
         arr = np.full((1, self.P), self.pad_id, np.int32)
         arr[0, : len(ids)] = ids
         mask = np.zeros((1, self.P), bool)
         mask[0, : len(ids)] = True
-        return jnp.asarray(arr), jnp.asarray(mask)
+        return self._embed(self.params, jnp.asarray(arr)), jnp.asarray(mask)
 
     def run(self, prompts: Iterator[Sequence[int]],
             budgets: Optional[Sequence[int]] = None) -> List[Finished]:
-        """Decode every prompt (token-id sequences); returns Finished records
-        in completion order. `budgets` optionally caps each request's
-        generated tokens individually (default: max_new_tokens for all) —
-        variable budgets model variable answer lengths, the regime where slot
-        refill beats wave decode."""
+        """Decode every prompt; returns Finished records in completion order.
+
+        Each prompt is a token-id sequence OR a pre-spliced [T, H] embedding
+        timeline. `budgets` optionally caps each request's generated tokens
+        individually (default: max_new_tokens for all) — variable budgets
+        model variable answer lengths, the regime where slot refill beats
+        wave decode. With seg_token_ids configured, each Finished carries the
+        [SEG]-position predictor hidden states (Finished.seg_hidden)."""
         cfg = self.cfg
         prompts = list(prompts)
         n_req = len(prompts)
@@ -161,32 +211,55 @@ class ContinuousBatcher:
         cur_tok = jnp.zeros((self.B,), jnp.int32)
         cache_len = jnp.zeros((self.B,), jnp.int32)
         done = jnp.ones((self.B,), bool)          # empty slots count as done
+        hdim = self.params["embed_tokens"]["w"].shape[1]
+        # ring of predictor hiddens per slot; position N is the overflow sink
+        hid_buf = jnp.zeros((self.B, self.N + 1, hdim)
+                            if self.collect_hidden else (1, 1, 1), self.dtype)
+        cnt = jnp.zeros((self.B,), jnp.int32)
 
         slot_req = [-1] * self.B                  # request id per slot
         slot_tokens: List[List[int]] = [[] for _ in range(self.B)]
         next_req = 0
         finished: List[Finished] = []
 
-        def admit(slot, pool_k, pool_v, cur_tok, cache_len, done):
+        def admit(slot, pool_k, pool_v, cur_tok, cache_len, done,
+                  hid_buf, cnt):
             nonlocal next_req
-            ids_a, mask = self._bucket(prompts[next_req])
-            pool_k, pool_v, cur_tok, cache_len, done = self._admit_row(
+            embeds, mask = self._bucket_embeds(prompts[next_req])
+            (pool_k, pool_v, cur_tok, cache_len, done, hid_buf,
+             cnt) = self._admit_row(
                 self.params, pool_k, pool_v, cur_tok, cache_len, done,
-                ids_a, mask, slot)
+                hid_buf, cnt, embeds, mask, slot)
             slot_req[slot] = next_req
             slot_tokens[slot] = []
             next_req += 1
-            return pool_k, pool_v, cur_tok, cache_len, done
+            return pool_k, pool_v, cur_tok, cache_len, done, hid_buf, cnt
 
+        def harvest(slot, budget, hid_buf) -> Finished:
+            toks = slot_tokens[slot][: budget]
+            fin = Finished(slot_req[slot], toks)
+            if self.collect_hidden:
+                seg_pos = [i for i, t in enumerate(toks)
+                           if t in self.seg_ids][: self.max_segs]
+                if seg_pos:
+                    idx = np.zeros((self.max_segs,), np.int32)
+                    idx[: len(seg_pos)] = seg_pos
+                    hid = np.asarray(self._gather_hidden(
+                        hid_buf, jnp.int32(slot), jnp.asarray(idx)))
+                    fin.seg_hidden = hid[: len(seg_pos)]
+                else:
+                    fin.seg_hidden = np.zeros((0, hid_buf.shape[-1]),
+                                              np.float32)
+            return fin
+
+        state = (pool_k, pool_v, cur_tok, cache_len, done, hid_buf, cnt)
         # initial fill
         for b in range(min(self.B, n_req)):
-            pool_k, pool_v, cur_tok, cache_len, done = admit(
-                b, pool_k, pool_v, cur_tok, cache_len, done)
+            state = admit(b, *state)
 
         while True:
-            (pool_k, pool_v, cur_tok, cache_len, done), packed = \
-                self._decode_segment(self.params, pool_k, pool_v, cur_tok,
-                                     cache_len, done)
+            carry, packed = self._decode_segment(self.params, *state)
+            state = carry
             packed_h = np.asarray(packed)      # single host readback
             toks_h = packed_h[:, : self.K]
             valid_h = packed_h[:, self.K: 2 * self.K].astype(bool)
@@ -199,13 +272,11 @@ class ContinuousBatcher:
                 budget = budgets[slot_req[b]]
                 over_budget = len(slot_tokens[b]) >= budget
                 if done_h[b] or over_budget:
-                    finished.append(Finished(slot_req[b],
-                                             slot_tokens[b][: budget]))
+                    finished.append(harvest(b, budget, state[5]))
                     slot_req[b] = -1
-                    done = done.at[b].set(True)
+                    state = state[:4] + (state[4].at[b].set(True),) + state[5:]
                     if next_req < n_req:
-                        pool_k, pool_v, cur_tok, cache_len, done = admit(
-                            b, pool_k, pool_v, cur_tok, cache_len, done)
+                        state = admit(b, *state)
             if next_req >= n_req and all(r < 0 for r in slot_req):
                 break
         return finished
