@@ -111,9 +111,13 @@ def main():
     # SAM->MSQP tokens (evaluation_walkgpt.py:535-577), CLIP is a parity-only
     # alternate stream — no reason to hold its weights in HBM here.
     import dataclasses
+    kv = os.environ.get("BENCH_KV", "")
     cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True,
                               fast_gelu=True,
-                              kv_quant_cache=os.environ.get("BENCH_KV") == "int8")
+                              kv_quant_cache=kv if kv in ("int8", "int4")
+                              else False,
+                              sam_encode_chunk=int(os.environ.get(
+                                  "BENCH_SAM_CHUNK", "0")))
 
     dtype = jnp.bfloat16
     # 7B/13B need int8 weights to fit one v5e-16G chip (bf16 14/26 GB)
@@ -125,8 +129,12 @@ def main():
         # multi-GB host->device transfer happens (the tunneled link is slow).
         # w8a8 additionally quantizes activations per token at runtime ->
         # native int8 MXU dots (no per-element weight dequant on the VPU).
+        # BENCH_SAM=int8 quantizes the SAM encoder blocks too (HBM headroom
+        # for decode batch at 7B/13B).
         params = walkgpt.init_quantized(jax.random.PRNGKey(0), cfg, dtype,
-                                        act_quant=quant == "w8a8")
+                                        act_quant=quant == "w8a8",
+                                        sam_int8=os.environ.get(
+                                            "BENCH_SAM", "") == "int8")
     else:
         params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     n_params = nn.count_params(params)

@@ -324,10 +324,21 @@ def test_ar_validate_cli_smoke(tmp_path):
                 "--no_console_text",
                 "--log_base_dir", str(tmp_path / "runs"),
                 "--exp_name", "ar_smoke"])
-    assert set(res) >= {"giou", "ciou", "ap50", "recall", "miou"}
+    assert set(res) >= {"giou", "ciou", "ap50", "recall", "miou",
+                        "target_count_acc"}
     out_file = tmp_path / "runs" / "ar_smoke" / "out_file_0.json"
     records = _json.load(open(out_file))
     assert len(records) == 1
+    # acc_list_{rank}.json: per-sample [giou_bg, giou_fg, max_num, image_path]
+    # (train_walkgpt.py:841-842, 1090-1093)
+    acc_list = _json.load(open(tmp_path / "runs" / "ar_smoke" /
+                               "acc_list_0.json"))
+    assert len(acc_list) == 1
+    bg, fg, max_num, path = acc_list[0]
+    assert 0.0 <= bg <= 1.0 and 0.0 <= fg <= 1.0
+    assert max_num == max(records[0]["pred_count"], records[0]["gt_count"], 1)
+    assert path.endswith("m0.jpg")
+    assert 0.0 <= res["target_count_acc"] <= 1.0
     assert records[0]["gt_count"] == 2
     assert "answer" in records[0]
 

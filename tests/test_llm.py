@@ -276,3 +276,71 @@ def test_prefix_lm_mask():
     # prefix-LM: it can
     assert not np.allclose(np.asarray(h_prefix[0, 0]),
                            np.asarray(h2_prefix[0, 0]))
+
+
+def test_int4_kv_cache_decode_close():
+    """int4 KV cache: teacher-forced decode hiddens stay within 4-bit noise
+    of the fp cache path (greedy comparisons are invalid — one flipped token
+    diverges the whole trajectory). The int4 buffers live entirely inside
+    jit programs."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(5)
+    ids = jnp.asarray(rng.randint(3, 500, (2, 12)))
+    mask = jnp.ones((2, 12), bool)
+    x = llm.embed(params, ids)
+    max_len = 16
+
+    def run(quant):
+        cache = llm.init_kv_cache(cfg, 2, max_len, dtype=jnp.float32,
+                                  quant=quant)
+        _, cache = llm.forward(params, cfg, x, attention_mask=mask,
+                               kv_cache=cache)
+        hs = []
+        clen = jnp.full((2,), 12, jnp.int32)
+        key_pos = jnp.arange(max_len)[None]
+        for step_tok in (7, 11, 13):
+            emb = llm.embed(params, jnp.full((2,), step_tok, jnp.int32))
+            h, cache = llm.decode_step(params, cfg, cache, emb[:, None],
+                                       clen, key_pos <= clen[:, None])
+            hs.append(np.asarray(h[:, 0], np.float32))
+            clen = clen + 1
+        return np.stack(hs)
+
+    b = run(False)
+    errs = {}
+    for quant in ("int8", "int4"):
+        a = run(quant)
+        errs[quant] = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    assert errs["int4"] < 0.25, errs
+    assert errs["int8"] < errs["int4"]    # int8 strictly tighter
+
+
+def test_sam_encoder_int8_and_chunked_encode():
+    """quantize_sam_encoder keeps the encoder close to bf16, and
+    sam_encode_chunk splits the batch without changing results."""
+    import numpy as np
+    from walkgpt_tpu.core.config import tiny_config
+    from walkgpt_tpu.models import walkgpt
+    from walkgpt_tpu.ops.quant import quantize_sam_encoder
+
+    cfg = tiny_config()
+    params = walkgpt.init(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).randn(
+        2, cfg.sam.img_size, cfg.sam.img_size, 3), jnp.float32)
+
+    feats, toks = walkgpt.encode_sam(params, cfg, imgs)
+    cfg_c = cfg.replace(sam_encode_chunk=1)
+    feats_c, _ = walkgpt.encode_sam(params, cfg_c, imgs)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats_c),
+                               rtol=2e-5, atol=2e-5)
+
+    qparams = dict(params, sam=quantize_sam_encoder(params["sam"]))
+    feats_q, _ = walkgpt.encode_sam(qparams, cfg, imgs)
+    a, b = np.asarray(feats_q, np.float32), np.asarray(feats, np.float32)
+    rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    assert rel < 0.1, rel

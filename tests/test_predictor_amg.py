@@ -150,3 +150,60 @@ def test_merge_lora_cli(tmp_path):
                    "--save_path", str(tmp_path / "merged")])
     assert "clip" not in merged
     assert (tmp_path / "merged").exists()
+
+
+def test_generate_crop_boxes_layout():
+    from walkgpt_tpu.models.sam_predictor import generate_crop_boxes
+    boxes, layers = generate_crop_boxes((100, 150), n_layers=2,
+                                        overlap_ratio=0.2)
+    # 1 full-image + 4 layer-1 + 16 layer-2
+    assert len(boxes) == 1 + 4 + 16
+    assert layers.count(0) == 1 and layers.count(1) == 4 and \
+        layers.count(2) == 16
+    assert boxes[0] == [0, 0, 150, 100]
+    for (x0, y0, x1, y1), li in zip(boxes, layers):
+        assert 0 <= x0 < x1 <= 150 and 0 <= y0 < y1 <= 100
+    # layer-1 crops overlap: union covers the image
+    cover = np.zeros((100, 150), bool)
+    for (x0, y0, x1, y1), li in zip(boxes, layers):
+        if li == 1:
+            cover[y0:y1, x0:x1] = True
+    assert cover.all()
+
+
+def test_remove_small_regions_modes():
+    from walkgpt_tpu.models.sam_predictor import remove_small_regions
+    m = np.zeros((40, 40), bool)
+    m[5:25, 5:25] = True
+    m[10, 10] = False               # 1-px hole
+    m[35, 35] = True                # 1-px island
+    out, changed = remove_small_regions(m, area_thresh=4, mode="holes")
+    assert changed and out[10, 10]
+    out2, changed2 = remove_small_regions(out, area_thresh=4, mode="islands")
+    assert changed2 and not out2[35, 35] and out2[6, 6]
+    # below-threshold everything: keep the largest island
+    tiny_m = np.zeros((10, 10), bool)
+    tiny_m[0, 0] = True
+    tiny_m[5:7, 5:7] = True
+    out3, _ = remove_small_regions(tiny_m, area_thresh=100, mode="islands")
+    assert out3[5, 5] and not out3[0, 0]
+
+
+def test_amg_crop_pyramid_and_small_regions(tiny):
+    """crop_n_layers=1 re-prompts 4 overlapping crops; min_mask_region_area
+    fills holes/drops islands instead of discarding masks."""
+    cfg, params = tiny
+    amg = SamAutomaticMaskGenerator(params, cfg, points_per_side=2,
+                                    pred_iou_thresh=-1e9,
+                                    stability_score_thresh=-1e9,
+                                    crop_n_layers=1,
+                                    crop_n_points_downscale_factor=2,
+                                    min_mask_region_area=4)
+    img = (np.random.RandomState(2).rand(64, 64, 3) * 255).astype(np.uint8)
+    out = amg.generate(img)
+    assert isinstance(out, list) and len(out) > 0
+    from walkgpt_tpu.data import rle as rle_mod
+    for rec in out:
+        m = rle_mod.decode(rec["segmentation"])
+        assert m.shape == (64, 64)
+        assert rec["area"] == int(m.sum()) > 0

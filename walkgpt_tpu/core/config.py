@@ -231,8 +231,13 @@ class WalkGPTConfig:
     # tanh-approximate GELU in the SAM encoder MLPs (~3e-3 bf16 drift; the
     # erf chain costs ~5 ms/block at batch 16 on v5e). Same opt-in policy.
     fast_gelu: bool = False
-    # int8 KV cache (per-row scales): halves decode-time cache HBM reads.
-    kv_quant_cache: bool = False
+    # quantized KV cache (per-row scales): False = full precision,
+    # "int8"/True = halve decode-time cache HBM reads, "int4" = quarter them
+    # (KIVI-class; the scale-folded decode attention reads either directly).
+    kv_quant_cache: "bool | str" = False
+    # SAM encoder sub-batch size for encode (0 = whole batch at once):
+    # bounds ViT activation memory at large decode batches.
+    sam_encode_chunk: int = 0
 
     def replace(self, **kw) -> "WalkGPTConfig":
         return dataclasses.replace(self, **kw)

@@ -256,10 +256,15 @@ def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
-                  dtype=jnp.float32, quant: bool = False,
+                  dtype=jnp.float32, quant=False,
                   layout: str = "heads") -> Params:
-    """quant=True stores K/V as int8 with per-row (token) fp32 scales — halves
-    decode-time cache HBM reads (the bandwidth bound alongside the weights).
+    """quant selects the cache element type: False/None = `dtype`;
+    True/"int8" = int8 with per-row (token) fp32 scales — halves decode-time
+    cache HBM reads; "int4" = int4 rows — quarters them (KIVI-class
+    quantization; the scale-folded decode attention reads either directly).
+    NOTE int4 buffers never cross a jit boundary here (the whole generate
+    pipeline is one program) — the platform's int4 transfer limitation does
+    not apply.
 
     layout="flat" stores [layers, B, L, n_kv*D] instead of
     [layers, B, n_kv, L, D]: contiguous 4-8 KB rows that the fused Pallas
@@ -268,12 +273,13 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
     if layout == "flat":
         shape = (cfg.num_layers, batch, max_len,
                  cfg.num_kv_heads * cfg.head_dim)
-        assert not quant, "flat int8 cache not implemented"
+        assert not quant, "flat quantized cache not implemented"
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if quant:
+        qdt = jnp.int4 if quant == "int4" else jnp.int8
         sshape = shape[:-1] + (1,)
-        return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+        return {"k": jnp.zeros(shape, qdt), "v": jnp.zeros(shape, qdt),
                 "k_scale": jnp.zeros(sshape, jnp.float32),
                 "v_scale": jnp.zeros(sshape, jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
@@ -283,12 +289,14 @@ def _cache_is_flat(kv_cache: Params) -> bool:
     return kv_cache["k"].ndim == 4
 
 
-def _quant_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[..., D] -> (int8 values, fp32 scale [..., 1]); symmetric per-row."""
+def _quant_rows(x: jnp.ndarray, qdt=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., D] -> (int values, fp32 scale [..., 1]); symmetric per-row.
+    qdt int8 -> +-127 levels, int4 -> +-7."""
+    qmax = 7.0 if qdt == jnp.int4 else 127.0
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(xf / scale), -qmax, qmax).astype(qdt)
     return q, scale
 
 
@@ -412,8 +420,8 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
                 new_cache["k"] = new_cache["k"].at[i, :, :t, :].set(flat(k_new))
                 new_cache["v"] = new_cache["v"].at[i, :, :t, :].set(flat(v_new))
             elif "k_scale" in new_cache:
-                kq, ks = _quant_rows(k_new)
-                vq, vs = _quant_rows(v_new)
+                kq, ks = _quant_rows(k_new, new_cache["k"].dtype)
+                vq, vs = _quant_rows(v_new, new_cache["v"].dtype)
                 new_cache["k"] = new_cache["k"].at[i, :, :, :t, :].set(kq)
                 new_cache["v"] = new_cache["v"].at[i, :, :, :t, :].set(vq)
                 new_cache["k_scale"] = new_cache["k_scale"].at[i, :, :, :t, :].set(ks)
@@ -487,8 +495,8 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
             continue
         if quant:
-            kq, ksc = _quant_rows(k1[:, :, 0])
-            vq, vsc = _quant_rows(v1[:, :, 0])
+            kq, ksc = _quant_rows(k1[:, :, 0], out_cache["k"].dtype)
+            vq, vsc = _quant_rows(v1[:, :, 0], out_cache["v"].dtype)
             out_cache["k"] = out_cache["k"].at[i, batch_idx, :, cache_len].set(kq)
             out_cache["v"] = out_cache["v"].at[i, batch_idx, :, cache_len].set(vq)
             out_cache["k_scale"] = out_cache["k_scale"].at[

@@ -72,17 +72,23 @@ def init(key, cfg: WalkGPTConfig, dtype=jnp.float32, *, llm_init=None) -> Dict:
 
 
 def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
-                   act_quant: bool = False) -> Dict:
+                   act_quant: bool = False, sam_int8: bool = False) -> Dict:
     """Same layout/keys as init(), but the LLM is built int8-quantized
     incrementally on the default device — a 7B/13B model fits a 16 GB chip
     without the full bf16 tree (or a multi-GB host->device transfer) ever
-    existing. Non-LLM components (SAM, projectors) stay bf16. act_quant=True
-    marks projections for W8A8 dynamic-activation int8 (native MXU int8 dot)."""
+    existing. act_quant=True marks projections for W8A8 dynamic-activation
+    int8 (native MXU int8 dot). sam_int8=True additionally quantizes the SAM
+    encoder block projections (~0.6 GB HBM freed at ViT-H — headroom the
+    single-chip 7B/13B configs spend on decode batch)."""
     import functools
-    from ..ops.quant import quantized_llm_init
-    return init(key, cfg, dtype,
-                llm_init=functools.partial(quantized_llm_init,
-                                           act_quant=act_quant))
+    from ..ops.quant import quantize_sam_encoder, quantized_llm_init
+    params = init(key, cfg, dtype,
+                  llm_init=functools.partial(quantized_llm_init,
+                                             act_quant=act_quant))
+    if sam_int8:
+        params["sam"] = quantize_sam_encoder(params["sam"],
+                                             act_quant=act_quant)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -91,12 +97,25 @@ def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
 
 def encode_sam(params, cfg: WalkGPTConfig, images: jnp.ndarray
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """images [B, S, S, 3] -> (feature maps [B, g, g, C], tokens [B, g*g, C])."""
-    feats = sam.encode_image(params["sam"], sam_config(cfg), images,
-                             use_flash=cfg.use_flash_attention,
-                             fast_windowed=cfg.fast_windowed_attention,
-                             fast_gelu=cfg.fast_gelu)
-    b, g1, g2, c = feats.shape
+    """images [B, S, S, 3] -> (feature maps [B, g, g, C], tokens [B, g*g, C]).
+
+    sam_encode_chunk > 0 runs the encoder over sub-batches via lax.map —
+    bounds encoder activation memory at large decode batches (the ViT-H
+    activations at batch 32 would otherwise crowd the KV cache out of HBM);
+    throughput is unchanged (each chunk still saturates the MXU)."""
+    def enc(im):
+        return sam.encode_image(params["sam"], sam_config(cfg), im,
+                                use_flash=cfg.use_flash_attention,
+                                fast_windowed=cfg.fast_windowed_attention,
+                                fast_gelu=cfg.fast_gelu)
+    b = images.shape[0]
+    ch = cfg.sam_encode_chunk
+    if ch and b > ch and b % ch == 0:
+        feats = jax.lax.map(enc, images.reshape(b // ch, ch, *images.shape[1:]))
+        feats = feats.reshape(b, *feats.shape[2:])
+    else:
+        feats = enc(images)
+    _, g1, g2, c = feats.shape
     return feats, feats.reshape(b, g1 * g2, c)
 
 

@@ -101,6 +101,29 @@ def convert_proj(d: Dict, act_quant: bool = False) -> Dict:
     return out
 
 
+def quantize_sam_encoder(sam_params: Dict, act_quant: bool = False) -> Dict:
+    """int8-quantize the SAM ViT encoder's block projections (qkv, proj,
+    mlp fc1/fc2 — the ~0.6B-param bulk of ViT-H). Patch embed, neck convs,
+    norms, rel-pos tables, prompt encoder, and mask decoder stay full
+    precision (tiny). Frees ~0.6 GB of HBM at ViT-H scale — headroom the
+    7B/13B single-chip configs spend on decode batch; all projections flow
+    through core.nn.linear, which dispatches on the quantized leaves."""
+    p = {k: v for k, v in sam_params.items()}
+    enc = {k: v for k, v in p["image_encoder"].items()}
+    blocks = []
+    for blk in enc["blocks"]:
+        nb = dict(blk)
+        for name in ("qkv", "proj"):
+            if _is_proj(nb.get(name)):
+                nb[name] = convert_proj(nb[name], act_quant)
+        nb["mlp"] = {k: (convert_proj(v, act_quant) if _is_proj(v) else v)
+                     for k, v in blk["mlp"].items()}
+        blocks.append(nb)
+    enc["blocks"] = blocks
+    p["image_encoder"] = enc
+    return p
+
+
 def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
                  act_quant: bool = False) -> Dict:
     """int8-quantize all 2-D projection weights of an LLM param tree

@@ -376,7 +376,7 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
     from ..data.collate import collate_batch
     from ..data.tokenizer import tokenizer_image_token
     from ..eval.matcher import match_pred
-    from ..eval.metrics import IoUAccumulator
+    from ..eval.metrics import IoUAccumulator, intersection_and_union
     from ..runtime.batching import prepare_batch
 
     from ..data.prefetch import prefetch_map, shard_indices
@@ -384,6 +384,11 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
     _, gen_cache = _jit_caches(cfg)
     acc = IoUAccumulator()
     records = []
+    acc_list = []                  # per-sample [giou_bg, giou_fg, max_num,
+    #                                image_path] (acc_list_{rank}.json,
+    #                                train_walkgpt.py:841-842, 1090-1093)
+    count_correct = 0              # target-count accuracy: #pred == #gt
+    count_total = 0
     n = len(dataset) if args.max_samples < 0 else min(args.max_samples,
                                                       len(dataset))
 
@@ -412,16 +417,52 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
         n_gt = int(sum(m.shape[0] for m in batch["masks_list"]))
         h, w = db.resize_list[0]
         sample_ious = []
+        # Hungarian assignment padded to max_num like the reference
+        # (train_walkgpt.py:911-965): unmatched GT scores vs an empty
+        # prediction, unmatched predictions vs an empty GT
+        pairs = []
         if n_pred > 0 and n_gt > 0:
             pred = np.asarray(ev.pred_masks[:n_pred])[:, :h, :w]
             gt_b = gt[:n_gt][:, :h, :w]
             pi, ti = match_pred(pred, gt_b)
             for p_idx, t_idx in zip(pi, ti):
-                acc.add_mask((pred[p_idx] > 0).astype(np.int64),
-                             gt_b[t_idx].astype(np.int64))
+                pairs.append(((pred[p_idx] > 0).astype(np.int64),
+                              gt_b[t_idx].astype(np.int64)))
                 inter = ((pred[p_idx] > 0) & (gt_b[t_idx] > 0.5)).sum()
                 union = ((pred[p_idx] > 0) | (gt_b[t_idx] > 0.5)).sum()
                 sample_ious.append(float(inter / (union + 1e-10)))
+            matched_p, matched_t = set(int(i) for i in pi), \
+                set(int(i) for i in ti)
+            empty = np.zeros((h, w), np.int64)
+            for t_idx in range(n_gt):
+                if t_idx not in matched_t:
+                    pairs.append((empty, gt_b[t_idx].astype(np.int64)))
+            for p_idx in range(n_pred):
+                if p_idx not in matched_p:
+                    pairs.append(((pred[p_idx] > 0).astype(np.int64), empty))
+        elif n_gt > 0:
+            gt_b = gt[:n_gt][:, :h, :w]
+            empty = np.zeros((h, w), np.int64)
+            pairs = [(empty, gt_b[t].astype(np.int64)) for t in range(n_gt)]
+        elif n_pred > 0:
+            pred = np.asarray(ev.pred_masks[:n_pred])[:, :h, :w]
+            empty = np.zeros((h, w), np.int64)
+            pairs = [((pred[p] > 0).astype(np.int64), empty)
+                     for p in range(n_pred)]
+
+        sample_acc = np.zeros((2,), np.float64)
+        for pb, gb in pairs:
+            acc.add_mask(pb, gb)
+            inter, union, _tgt = intersection_and_union(pb, gb, 2)
+            iou = inter / (union + 1e-5)
+            iou[union == 0] += 1.0       # no-object rule (train_walkgpt:1024)
+            sample_acc += iou
+        max_num = max(n_pred, n_gt, 1)
+        acc_list.append([float(sample_acc[0] / max_num),
+                         float(sample_acc[1] / max_num), max_num,
+                         db.image_paths[0]])
+        count_total += 1
+        count_correct += int(n_pred == n_gt)
         answer = decode_answer(tokenizer, np.asarray(ev.tokens)[0],
                                int(ev.lengths[0]))
         records.append({"image_path": db.image_paths[0],
@@ -430,13 +471,27 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
 
     acc.all_reduce()
     res = acc.results()
+    counts = _allreduce_counts(np.array([count_correct, count_total],
+                                        np.float64))
+    res["target_count_acc"] = (counts[0] / counts[1]) if counts[1] else \
+        float("nan")
     out_dir = os.path.join(args.log_base_dir, args.exp_name)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, f"out_file_{args.local_rank}.json"),
               "w") as f:
         json.dump(records, f, indent=2)
-    logger(format_metric_line(f"{args.val_dataset} [ar]", res))
+    with open(os.path.join(out_dir, f"acc_list_{args.local_rank}.json"),
+              "w") as f:
+        json.dump(acc_list, f)
+    logger(format_metric_line(f"{args.val_dataset} [ar]", res)
+           + f", target-count-acc: {res['target_count_acc']:.4f}")
     return res, records
+
+
+def _allreduce_counts(values: np.ndarray) -> np.ndarray:
+    from ..eval.metrics import _allreduce_f64
+    out = _allreduce_f64(values)
+    return out if out is not None else values
 
 
 def main(argv=None):

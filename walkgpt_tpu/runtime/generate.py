@@ -60,7 +60,7 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                     attention_mask: jnp.ndarray, *, max_new_tokens: int,
                     eos_id: int, pad_id: int = 0,
                     logits_mask: Optional[jnp.ndarray] = None,
-                    flash_fn=None, kv_quant: bool = False) -> GenerateResult:
+                    flash_fn=None, kv_quant="") -> GenerateResult:
     """inputs_embeds: [B, T, H] right-padded prompt embeddings;
     attention_mask: [B, T] bool. logits_mask: optional [V] bool of allowed
     tokens (True = allowed) applied at every step. kv_quant stores the KV
