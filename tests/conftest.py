@@ -21,3 +21,22 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (heavyweight AOT/scale)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavyweight scale test, opt-in via --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow (opt-in via --runslow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

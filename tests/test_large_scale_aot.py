@@ -75,6 +75,7 @@ def test_13b_forward_lowering_tp8():
     assert "sharding" in text
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_13b_layer_slice_executes_tp8():
     """REAL tensors at 13B dimensions through the tp=8 mesh: one full decoder

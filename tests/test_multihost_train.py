@@ -61,6 +61,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_sharded_train_step(tmp_path):
     coord = f"localhost:{_free_port()}"
     script = tmp_path / "worker.py"

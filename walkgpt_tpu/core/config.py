@@ -232,8 +232,10 @@ class WalkGPTConfig:
     # erf chain costs ~5 ms/block at batch 16 on v5e). Same opt-in policy.
     fast_gelu: bool = False
     # quantized KV cache (per-row scales): False = full precision,
-    # "int8"/True = halve decode-time cache HBM reads, "int4" = quarter them
-    # (KIVI-class; the scale-folded decode attention reads either directly).
+    # "int8"/True = halve decode-time cache HBM reads (convert fuses into
+    # the attention dot — the production choice), "int4" = KIVI-class format
+    # option (on current XLA/v5e the int4 convert is NOT fused and costs
+    # more than it saves — see models/llm.py init_kv_cache).
     kv_quant_cache: "bool | str" = False
     # SAM encoder sub-batch size for encode (0 = whole batch at once):
     # bounds ViT activation memory at large decode batches.

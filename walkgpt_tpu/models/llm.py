@@ -260,11 +260,17 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
                   layout: str = "heads") -> Params:
     """quant selects the cache element type: False/None = `dtype`;
     True/"int8" = int8 with per-row (token) fp32 scales — halves decode-time
-    cache HBM reads; "int4" = int4 rows — quarters them (KIVI-class
-    quantization; the scale-folded decode attention reads either directly).
-    NOTE int4 buffers never cross a jit boundary here (the whole generate
-    pipeline is one program) — the platform's int4 transfer limitation does
-    not apply.
+    cache HBM reads; "int4" = int4 rows (KIVI-class quantization).
+
+    MEASURED VERDICT (v5e, 2026-08): int8 is the production choice. XLA
+    fuses the int8->bf16 convert into the attention dot (cache streams at
+    byte rate: 7B decode -6%, 1.00 -> 1.06 img/s e2e). The int4 convert is
+    NOT fused — XLA materializes a dequantized copy per layer per step
+    (~0.9 ms/row extra at 7B; a bitcast-based int4 weight path measured the
+    same unpack-bound behavior AND miscompiled dot values on this platform),
+    so "int4" costs more than it saves today. Kept as the format option for
+    toolchains with native int4 dot support; int4 buffers never cross a jit
+    boundary here, so the axon int4 transfer bug does not apply.
 
     layout="flat" stores [layers, B, L, n_kv*D] instead of
     [layers, B, n_kv, L, D]: contiguous 4-8 KB rows that the fused Pallas

@@ -60,6 +60,17 @@ def parse_args(argv):
                         "weight-only (-23%% decode step at 1B; required to "
                         "fit 7B/13B on one chip), 'w8a8' adds dynamic "
                         "per-token int8 activations (native MXU int8 dots)")
+    p.add_argument("--kv_cache", default="none",
+                   choices=["none", "int8", "int4"],
+                   help="quantized decode KV cache (per-row scales; the "
+                        "scale-folded attention reads it without a "
+                        "dequantized copy): int8 halves, int4 quarters the "
+                        "per-step cache HBM reads")
+    p.add_argument("--sam_quant", default="none", choices=["none", "int8"],
+                   help="int8 SAM ViT blocks (~0.6 GB HBM freed at ViT-H)")
+    p.add_argument("--sam_chunk", default=0, type=int,
+                   help="encode SAM in sub-batches of this size (bounds "
+                        "encoder activations at large --val_batch_size)")
     p.add_argument("--fast", action="store_true", default=False,
                    help="production inference mode: tanh GELU (+ bf16 "
                         "logits on the non-flash einsum path) in the SAM "
@@ -97,6 +108,12 @@ def build_config(args, seg_token_idx):
     cfg = builders[args.model_size](seg_token_id=seg_token_idx)
     if getattr(args, "fast", False):
         cfg = cfg.replace(fast_windowed_attention=True, fast_gelu=True)
+    kv = getattr(args, "kv_cache", "none")
+    if kv in ("int8", "int4"):
+        cfg = cfg.replace(kv_quant_cache=kv)
+    chunk = int(getattr(args, "sam_chunk", 0) or 0)
+    if chunk:
+        cfg = cfg.replace(sam_encode_chunk=chunk)
     return cfg
 
 
@@ -141,6 +158,10 @@ def build_model(args, cfg):
         from ..ops.quant import quantize_llm
         params = dict(params, llm=quantize_llm(
             params["llm"], act_quant=args.quant == "w8a8"))
+    if getattr(args, "sam_quant", "none") == "int8":
+        from ..ops.quant import quantize_sam_encoder
+        params = dict(params, sam=quantize_sam_encoder(
+            params["sam"], act_quant=getattr(args, "quant", "") == "w8a8"))
     return params
 
 
