@@ -117,7 +117,9 @@ def main():
                               kv_quant_cache=kv if kv in ("int8", "int4")
                               else False,
                               sam_encode_chunk=int(os.environ.get(
-                                  "BENCH_SAM_CHUNK", "0")))
+                                  "BENCH_SAM_CHUNK", "0")),
+                              prefill_chunk=int(os.environ.get(
+                                  "BENCH_PREFILL_CHUNK", "0")))
 
     dtype = jnp.bfloat16
     # 7B/13B need int8 weights to fit one v5e-16G chip (bf16 14/26 GB)

@@ -344,3 +344,103 @@ def test_sam_encoder_int8_and_chunked_encode():
     a, b = np.asarray(feats_q, np.float32), np.asarray(feats, np.float32)
     rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
     assert rel < 0.1, rel
+
+
+def test_speculative_generate_token_identical():
+    """Prompt-lookup speculative decode is token-identical to greedy
+    (the invariant holds at ANY draft acceptance rate) and returns the same
+    predictor hidden states for [SEG]-style extraction."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.runtime.generate import (greedy_generate,
+                                              speculative_generate)
+
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(7), cfg)
+    rng = np.random.RandomState(11)
+    # repetitive prompt -> real lookup hits; plus a ragged row
+    base = [5, 9, 14, 5, 9, 14, 5, 9, 14, 5, 9]
+    ids = np.stack([base, rng.randint(3, 500, len(base))]).astype(np.int64)
+    mask = np.ones_like(ids, bool)
+    mask[1, -2:] = False
+    ids_j = jnp.asarray(ids)
+    mask_j = jnp.asarray(mask)
+    x = llm.embed(params, ids_j)
+
+    res_g = greedy_generate(params, cfg, x, mask_j, max_new_tokens=16,
+                            eos_id=2, pad_id=0)
+    for kwargs in ({"prompt_ids": jnp.asarray(np.where(mask, ids, -1))},
+                   {}, {"draft_k": 3, "ngram": 2,
+                        "prompt_ids": ids_j}):
+        res_s = speculative_generate(params, cfg, x, mask_j,
+                                     max_new_tokens=16, eos_id=2, pad_id=0,
+                                     **kwargs)
+        np.testing.assert_array_equal(np.asarray(res_s.tokens),
+                                      np.asarray(res_g.tokens))
+        np.testing.assert_array_equal(np.asarray(res_s.lengths),
+                                      np.asarray(res_g.lengths))
+        a = np.asarray(res_s.pred_hidden, np.float32)
+        g = np.asarray(res_g.pred_hidden, np.float32)
+        # compare only emitted positions (padding hiddens differ by design)
+        for b in range(ids.shape[0]):
+            n = int(res_g.lengths[b])
+            np.testing.assert_allclose(a[b, :n], g[b, :n],
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_speculative_generate_eos_and_budget():
+    """EOS inside an accepted run stops the row exactly like greedy; a
+    restricted vocabulary makes EOS certain within the budget."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.runtime.generate import (greedy_generate,
+                                              speculative_generate)
+
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(9), cfg)
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(rng.randint(3, 500, (3, 7)))
+    mask = jnp.ones((3, 7), bool)
+    x = llm.embed(params, ids)
+    lm = np.zeros((cfg.vocab_size,), bool)
+    lm[[2, 3, 4]] = True                      # eos + two tokens only
+    lm_j = jnp.asarray(lm)
+    res_g = greedy_generate(params, cfg, x, mask, max_new_tokens=12,
+                            eos_id=2, pad_id=0, logits_mask=lm_j)
+    res_s = speculative_generate(params, cfg, x, mask, max_new_tokens=12,
+                                 eos_id=2, pad_id=0, logits_mask=lm_j,
+                                 prompt_ids=ids, draft_k=4)
+    np.testing.assert_array_equal(np.asarray(res_s.tokens),
+                                  np.asarray(res_g.tokens))
+    np.testing.assert_array_equal(np.asarray(res_s.lengths),
+                                  np.asarray(res_g.lengths))
+
+
+def test_chunked_prefill_matches_full():
+    """prefill_chunk changes only the schedule: tokens and hiddens identical
+    to full-batch prefill (fp path and int8 cache path)."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.runtime.generate import greedy_generate
+
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(12), cfg)
+    rng = np.random.RandomState(12)
+    ids = jnp.asarray(rng.randint(3, 500, (4, 9)))
+    mask = jnp.asarray(rng.rand(4, 9) > 0.1)
+    mask = mask.at[:, 0].set(True)
+    x = llm.embed(params, ids)
+    for kv in ("", "int8"):
+        full = greedy_generate(params, cfg, x, mask, max_new_tokens=6,
+                               eos_id=2, kv_quant=kv)
+        chunked = greedy_generate(params, cfg, x, mask, max_new_tokens=6,
+                                  eos_id=2, kv_quant=kv, prefill_chunk=2)
+        np.testing.assert_array_equal(np.asarray(full.tokens),
+                                      np.asarray(chunked.tokens))
+        np.testing.assert_allclose(np.asarray(full.prefill_hidden, np.float32),
+                                   np.asarray(chunked.prefill_hidden,
+                                              np.float32),
+                                   rtol=2e-5, atol=2e-5)

@@ -217,3 +217,31 @@ def test_splice_visual_multi(setup):
     assert bool(sp.attention_mask[1, 2:2 + v].all())
     n_attended = int(sp.attention_mask[1].sum())
     assert n_attended == 5 - 1 + v   # 5 real tokens -1 sentinel + v visual
+
+
+def test_generate_and_segment_speculative_matches_wave(setup):
+    """speculative_k decode through the full pipeline: tokens, SEG packing,
+    and masks identical to the wave decoder."""
+    tok, st, cfg, params = setup
+    s = make_sample(tok)
+    from walkgpt_tpu.data.collate import collate_batch
+    b = collate_batch([s], tok)
+    db = prepare_batch(b, img_size=cfg.sam.img_size, seq_multiple=64,
+                       max_segs=8, seg_token_id=st.seg_token_idx)
+    from walkgpt_tpu.data.tokenizer import tokenizer_image_token
+    ids = np.array([tokenizer_image_token(
+        "what do you see? <image> answer:", tok)])
+    kw = dict(images=jnp.asarray(db.images), input_ids=jnp.asarray(ids),
+              attention_mask=jnp.ones(ids.shape, bool),
+              row_image_idx=jnp.zeros((1,), jnp.int32),
+              pixel_hw=jnp.asarray(db.pixel_hw), max_new_tokens=12,
+              max_segs=8, eos_id=tok.eos_token_id)
+    wave = walkgpt.generate_and_segment(params, cfg, **kw)
+    spec = walkgpt.generate_and_segment(params, cfg, speculative_k=4, **kw)
+    np.testing.assert_array_equal(np.asarray(wave.tokens),
+                                  np.asarray(spec.tokens))
+    np.testing.assert_array_equal(np.asarray(wave.seg_valid),
+                                  np.asarray(spec.seg_valid))
+    np.testing.assert_allclose(np.asarray(wave.pred_masks, np.float32),
+                               np.asarray(spec.pred_masks, np.float32),
+                               rtol=2e-3, atol=2e-3)

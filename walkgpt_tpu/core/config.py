@@ -240,6 +240,10 @@ class WalkGPTConfig:
     # SAM encoder sub-batch size for encode (0 = whole batch at once):
     # bounds ViT activation memory at large decode batches.
     sam_encode_chunk: int = 0
+    # LLM prefill sub-batch size (0 = whole batch): bounds prefill
+    # activation memory, letting decode run batches whose full-batch
+    # prefill would blow HBM (runtime/generate._prefill).
+    prefill_chunk: int = 0
 
     def replace(self, **kw) -> "WalkGPTConfig":
         return dataclasses.replace(self, **kw)

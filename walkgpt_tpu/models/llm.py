@@ -442,6 +442,68 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
     return x, new_cache
 
 
+def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
+                 inputs_embeds: jnp.ndarray, cache_len: jnp.ndarray,
+                 ) -> Tuple[jnp.ndarray, Params]:
+    """Multi-token decode against the cache: process T proposed tokens in ONE
+    pass (weights read once for the whole chunk) — the verification step of
+    speculative decoding (runtime/generate.speculative_generate).
+
+    inputs_embeds: [B, T, H]; cache_len: [B] int32 — first write position per
+    row (token t lands at cache_len + t). Attention of chunk position t sees
+    cache slots [0, cache_len + t]. Returns (hidden [B, T, H], cache).
+    Supports rope + heads-layout caches (fp or int8/int4 quant)."""
+    assert not _cache_is_flat(kv_cache), "flat cache is single-token only"
+    b, t, _ = inputs_embeds.shape
+    l_max = kv_cache["k"].shape[3]
+    positions = cache_len[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    if cfg.pos_emb == "alibi":
+        raise NotImplementedError("speculative chunk decode: rope models")
+
+    x = inputs_embeds
+    out_cache = dict(kv_cache)
+    quant = "k_scale" in kv_cache
+    batch_idx = jnp.arange(b)[:, None]                       # [B, 1]
+    key_pos = jnp.arange(l_max, dtype=jnp.int32)
+    # [B, 1(head), T, L]: chunk position t attends cache slots <= cache_len+t
+    mask = key_pos[None, None, None, :] <= positions[:, None, :, None]
+    for i, layer in enumerate(params["layers"]):
+        h_in = _norm(layer["input_norm"], x, cfg)
+        q = split_heads(_proj(layer["attn"]["q"], h_in), cfg.num_heads)
+        k1 = split_heads(_proj(layer["attn"]["k"], h_in), cfg.num_kv_heads)
+        v1 = split_heads(_proj(layer["attn"]["v"], h_in), cfg.num_kv_heads)
+        rot_dim = int(cfg.head_dim * cfg.rope_pct)
+        cos, sin = rope_tables(cfg, positions)
+        q = apply_rope(q, cos, sin, rot_dim)
+        k1 = apply_rope(k1, cos, sin, rot_dim)
+        # scatter the chunk's K/V at per-row dynamic positions
+        kv_t = lambda z: jnp.swapaxes(z, 1, 2)               # [B, T, n_kv, D]
+        if quant:
+            kq, ks = _quant_rows(kv_t(k1), out_cache["k"].dtype)
+            vq, vs = _quant_rows(kv_t(v1), out_cache["v"].dtype)
+            out_cache["k"] = out_cache["k"].at[
+                i, batch_idx, :, positions].set(kq)
+            out_cache["v"] = out_cache["v"].at[
+                i, batch_idx, :, positions].set(vq)
+            out_cache["k_scale"] = out_cache["k_scale"].at[
+                i, batch_idx, :, positions].set(ks)
+            out_cache["v_scale"] = out_cache["v_scale"].at[
+                i, batch_idx, :, positions].set(vs)
+        else:
+            dt = out_cache["k"].dtype
+            out_cache["k"] = out_cache["k"].at[
+                i, batch_idx, :, positions].set(kv_t(k1).astype(dt))
+            out_cache["v"] = out_cache["v"].at[
+                i, batch_idx, :, positions].set(kv_t(v1).astype(dt))
+        k_cache, v_cache = _cache_kv(out_cache, i, q.dtype)
+        n_rep = cfg.num_heads // cfg.num_kv_heads
+        att = mha(q, _repeat_kv(k_cache, n_rep), _repeat_kv(v_cache, n_rep),
+                  mask=mask)
+        x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
+        x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
+    return _norm(params["final_norm"], x, cfg), out_cache
+
+
 def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 inputs_embeds: jnp.ndarray, cache_len: jnp.ndarray,
                 key_mask: jnp.ndarray,

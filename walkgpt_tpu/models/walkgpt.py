@@ -456,6 +456,7 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
                          images_clip: Optional[jnp.ndarray] = None,
                          clip_resize_hw: Optional[jnp.ndarray] = None,
                          visual_stream: str = "sam",
+                         speculative_k: int = 0,
                          ) -> EvaluateOutput:
     """The `evaluate` pipeline (model/walkgpt.py:607-746), one compiled graph:
     greedy decode from visual tokens, extract [SEG] predictor hidden states,
@@ -487,10 +488,24 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
     sp = splice_visual(params, cfg, input_ids, vis_rows,
                        attention_mask=attention_mask,
                        vis_mask=vis_mask_rows)
-    res: GenerateResult = greedy_generate(
-        params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
-        max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
-        kv_quant=cfg.kv_quant_cache)
+    if speculative_k > 0:
+        # prompt-lookup speculative decode: token-identical to greedy, one
+        # weight read per verified chunk (PAVE's templated answers give long
+        # accepted runs). History = the textual prompt ids (visual sentinel
+        # and pad positions excluded).
+        from ..runtime.generate import speculative_generate
+        hist_ids = jnp.where(attention_mask & (input_ids >= 0),
+                             input_ids, -2)
+        res: GenerateResult = speculative_generate(
+            params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
+            max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
+            kv_quant=cfg.kv_quant_cache, draft_k=speculative_k,
+            prompt_ids=hist_ids, prefill_chunk=cfg.prefill_chunk)
+    else:
+        res = greedy_generate(
+            params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
+            max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
+            kv_quant=cfg.kv_quant_cache, prefill_chunk=cfg.prefill_chunk)
 
     # [SEG] over generated tokens; pred_hidden[t] predicted tokens[t], matching
     # the reference's position-1 indexing (model/walkgpt.py:653-671)

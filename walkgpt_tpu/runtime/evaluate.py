@@ -71,6 +71,11 @@ def parse_args(argv):
     p.add_argument("--sam_chunk", default=0, type=int,
                    help="encode SAM in sub-batches of this size (bounds "
                         "encoder activations at large --val_batch_size)")
+    p.add_argument("--speculative", default=0, type=int,
+                   help="prompt-lookup speculative decode with this draft "
+                        "length (0 = wave greedy). Token-identical to "
+                        "greedy; amortizes weight reads over accepted runs "
+                        "of the templated PAVE grammar")
     p.add_argument("--fast", action="store_true", default=False,
                    help="production inference mode: tanh GELU (+ bf16 "
                         "logits on the non-flash einsum path) in the SAM "
@@ -241,7 +246,8 @@ def _jit_caches(cfg):
         return jax.jit(f)
 
     @functools.lru_cache(maxsize=16)
-    def gen(max_new_tokens, max_segs, eos_id, visual_stream="sam"):
+    def gen(max_new_tokens, max_segs, eos_id, visual_stream="sam",
+            speculative_k=0):
         def g(params, images, input_ids, attention_mask, row_image_idx,
               pixel_hw, images_clip=None, clip_resize_hw=None):
             return walkgpt.generate_and_segment(
@@ -250,7 +256,7 @@ def _jit_caches(cfg):
                 pixel_hw=pixel_hw, max_new_tokens=max_new_tokens,
                 max_segs=max_segs, eos_id=eos_id,
                 images_clip=images_clip, clip_resize_hw=clip_resize_hw,
-                visual_stream=visual_stream)
+                visual_stream=visual_stream, speculative_k=speculative_k)
         return jax.jit(g)
 
     return fwd, gen
@@ -334,7 +340,8 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
                 clip_resize_hw=jnp.asarray(
                     np.asarray(batch["clip_resize_list"], np.int64)))
         ev = gen_cache(args.max_new_tokens, db.max_segs,
-                       tokenizer.eos_token_id, stream)(
+                       tokenizer.eos_token_id, stream,
+                       int(getattr(args, "speculative", 0)))(
             params, jnp.asarray(db.images), jnp.asarray(ids_p),
             jnp.asarray(ids_p != tokenizer.pad_token_id),
             jnp.asarray(db.row_image_idx), jnp.asarray(db.pixel_hw),
@@ -428,7 +435,8 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
                 for p in prompts]
         ids = _pad_prompt_rows(rows, tokenizer.pad_token_id)
         ev = gen_cache(args.max_new_tokens, db.max_segs,
-                       tokenizer.eos_token_id)(
+                       tokenizer.eos_token_id, "sam",
+                       int(getattr(args, "speculative", 0)))(
             params, jnp.asarray(db.images), jnp.asarray(ids),
             jnp.asarray(ids != tokenizer.pad_token_id),
             jnp.asarray(db.row_image_idx), jnp.asarray(db.pixel_hw))

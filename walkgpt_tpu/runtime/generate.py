@@ -56,15 +56,50 @@ class GenerateResult(NamedTuple):
     prefill_hidden: jnp.ndarray  # [B, T, H] final-norm hidden states of the prompt
 
 
+def _prefill(params, cfg: LLMConfig, inputs_embeds, attention_mask,
+             kv_cache, flash_fn, chunk: int = 0):
+    """Prompt prefill into a preallocated cache. chunk > 0 processes row
+    groups sequentially (lax.fori_loop + in-place dynamic_update_slice into
+    the shared cache) — prefill activation temps then scale with the chunk,
+    not the batch. At 7B batch 24+ the full-batch prefill's qkv/attention
+    temporaries alone exceed the v5e HBM (~10.7 GB at batch 32); chunking
+    bounds them while decode still runs the full batch."""
+    b, t, h = inputs_embeds.shape
+    if not chunk or b <= chunk or b % chunk:
+        return llm.forward(params, cfg, inputs_embeds,
+                           attention_mask=attention_mask, kv_cache=kv_cache,
+                           flash_fn=flash_fn)
+    hidden0 = jnp.zeros((b, t, h), inputs_embeds.dtype)
+
+    def body(g, carry):
+        hidden, cache = carry
+        start = g * chunk
+        emb = jax.lax.dynamic_slice_in_dim(inputs_embeds, start, chunk, 0)
+        msk = jax.lax.dynamic_slice_in_dim(attention_mask, start, chunk, 0)
+        sub = {k: jnp.zeros((v.shape[0], chunk) + v.shape[2:], v.dtype)
+               for k, v in cache.items()}
+        hs, sub = llm.forward(params, cfg, emb, attention_mask=msk,
+                              kv_cache=sub, flash_fn=flash_fn)
+        hidden = jax.lax.dynamic_update_slice_in_dim(hidden, hs, start, 0)
+        cache = {k: jax.lax.dynamic_update_slice_in_dim(cache[k], sub[k],
+                                                        start, 1)
+                 for k in cache}
+        return hidden, cache
+
+    return jax.lax.fori_loop(0, b // chunk, body, (hidden0, kv_cache))
+
+
 def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                     attention_mask: jnp.ndarray, *, max_new_tokens: int,
                     eos_id: int, pad_id: int = 0,
                     logits_mask: Optional[jnp.ndarray] = None,
-                    flash_fn=None, kv_quant="") -> GenerateResult:
+                    flash_fn=None, kv_quant="",
+                    prefill_chunk: int = 0) -> GenerateResult:
     """inputs_embeds: [B, T, H] right-padded prompt embeddings;
     attention_mask: [B, T] bool. logits_mask: optional [V] bool of allowed
     tokens (True = allowed) applied at every step. kv_quant stores the KV
-    cache as int8 (per-row scales) to halve decode-time cache reads."""
+    cache as int8 (per-row scales) to halve decode-time cache reads.
+    prefill_chunk bounds prefill activation memory (see _prefill)."""
     b, t, h = inputs_embeds.shape
     max_len = t + max_new_tokens
     cache_dtype = inputs_embeds.dtype
@@ -79,9 +114,9 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                                  quant=kv_quant, layout=layout)
 
     # ---- prefill ----
-    prefill_hidden, kv_cache = llm.forward(
-        params, cfg, inputs_embeds, attention_mask=attention_mask,
-        kv_cache=kv_cache, flash_fn=flash_fn)
+    prefill_hidden, kv_cache = _prefill(
+        params, cfg, inputs_embeds, attention_mask, kv_cache, flash_fn,
+        prefill_chunk)
     lengths0 = attention_mask.astype(jnp.int32).sum(-1)            # [B]
     last_idx = jnp.maximum(lengths0 - 1, 0)
     last_hidden = prefill_hidden[jnp.arange(b), last_idx]           # [B, H]
@@ -122,3 +157,158 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     lengths = valids.T.astype(jnp.int32).sum(-1)
     return GenerateResult(tokens=tokens, pred_hidden=pred_hidden,
                           lengths=lengths, prefill_hidden=prefill_hidden)
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding (prompt-lookup draft, exact greedy verification)
+# ---------------------------------------------------------------------------
+
+def _ngram_propose(history: jnp.ndarray, hist_len: jnp.ndarray,
+                   ngram: int, k: int) -> jnp.ndarray:
+    """Prompt-lookup draft: find the most recent EARLIER occurrence of each
+    row's final `ngram` ids in its own history and propose the k ids that
+    followed it (PAVE answers are highly templated — [p]/[SEG]/[distance]
+    grammar — so lookup hits are common with real weights).
+
+    history: [B, L] int32 (invalid slots < 0); hist_len: [B] valid counts.
+    Returns proposals [B, k] int32 (never negative; falls back to repeating
+    the last id, which simply fails verification)."""
+    b, l = history.shape
+    pos = jnp.arange(l, dtype=jnp.int32)
+    # the row's final n-gram
+    tail_idx = jnp.clip(hist_len[:, None] - ngram + jnp.arange(ngram)[None],
+                        0, l - 1)
+    tail = jnp.take_along_axis(history, tail_idx, axis=1)      # [B, n]
+    # all length-n windows: win[b, s, j] = history[b, s + j]
+    win_idx = jnp.clip(pos[None, :, None] + jnp.arange(ngram)[None, None, :],
+                       0, l - 1)
+    win = history[jnp.arange(b)[:, None, None], win_idx]       # [B, L, n]
+    match = (win == tail[:, None, :]).all(-1)                  # [B, L]
+    # window must end strictly before the tail's own start
+    match = match & (pos[None] + ngram <= hist_len[:, None] - 1) \
+        & (pos[None] + ngram - 1 < l)
+    any_match = match.any(-1)
+    m = jnp.where(any_match,
+                  (l - 1) - jnp.argmax(match[:, ::-1], axis=-1),   # last match
+                  0)
+    prop_idx = jnp.clip(m[:, None] + ngram + jnp.arange(k)[None],
+                        0, l - 1)
+    prop_idx = jnp.minimum(prop_idx, jnp.maximum(hist_len[:, None] - 1, 0))
+    props = jnp.take_along_axis(history, prop_idx, axis=1)
+    last = jnp.take_along_axis(
+        history, jnp.maximum(hist_len[:, None] - 1, 0), axis=1)
+    props = jnp.where(any_match[:, None], props, last)         # fallback
+    return jnp.maximum(props, 0)
+
+
+def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
+                         attention_mask: jnp.ndarray, *, max_new_tokens: int,
+                         eos_id: int, pad_id: int = 0, draft_k: int = 8,
+                         ngram: int = 3,
+                         prompt_ids: Optional[jnp.ndarray] = None,
+                         logits_mask: Optional[jnp.ndarray] = None,
+                         flash_fn=None, kv_quant="",
+                         prefill_chunk: int = 0) -> GenerateResult:
+    """Greedy decode with prompt-lookup speculative verification — TOKEN-
+    IDENTICAL to greedy_generate by construction (every emitted token is the
+    model's own argmax given its true prefix); only the schedule differs:
+    each iteration verifies `draft_k` drafted tokens in ONE decode_chunk
+    pass, so weight HBM reads amortize over accepted runs. With real PAVE
+    weights the templated answer grammar gives long accepted runs; with a
+    draft miss the loop still advances one token per iteration (greedy's
+    rate, plus the small chunk-compute overhead).
+
+    prompt_ids: optional [B, T] ids of the prompt timeline (IMAGE sentinel /
+    pad positions < 0 are never matched) — extends the lookup window beyond
+    the generated text. Returns GenerateResult like greedy_generate."""
+    b, t, h = inputs_embeds.shape
+    max_len = t + max_new_tokens
+    kv_cache = llm.init_kv_cache(cfg, b, max_len, dtype=inputs_embeds.dtype,
+                                 quant=kv_quant)
+
+    prefill_hidden, kv_cache = _prefill(
+        params, cfg, inputs_embeds, attention_mask, kv_cache, flash_fn,
+        prefill_chunk)
+    lengths0 = attention_mask.astype(jnp.int32).sum(-1)
+    last_hidden = prefill_hidden[jnp.arange(b), jnp.maximum(lengths0 - 1, 0)]
+
+    def pick(hid):
+        logits = llm.lm_logits(params, cfg, hid).astype(jnp.float32)
+        if logits_mask is not None:
+            logits = jnp.where(logits_mask[None], logits, -jnp.inf)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    token0 = pick(last_hidden)
+
+    l_hist = t + max_new_tokens
+    if prompt_ids is not None:
+        hist0 = jnp.where(prompt_ids >= 0, prompt_ids, -2).astype(jnp.int32)
+        hist0 = jnp.pad(hist0, ((0, 0), (0, l_hist - prompt_ids.shape[1])),
+                        constant_values=-2)
+        hlen0 = (prompt_ids >= 0).astype(jnp.int32).sum(-1)
+    else:
+        hist0 = jnp.full((b, l_hist), -2, jnp.int32)
+        hlen0 = jnp.zeros((b,), jnp.int32)
+
+    K = draft_k
+    out_tok0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    out_hid0 = jnp.zeros((b, max_new_tokens, h), inputs_embeds.dtype)
+    out_val0 = jnp.zeros((b, max_new_tokens), bool)
+    bidx = jnp.arange(b)[:, None]
+
+    def cond(c):
+        done = c[3]
+        return (~done).any()
+
+    def body(c):
+        (kv, cur, hid_cur, done, n_gen, cache_len, hist, hlen,
+         out_tok, out_hid, out_val) = c
+        props = _ngram_propose(hist, hlen, ngram, K)           # [B, K]
+        chunk = jnp.concatenate([cur[:, None], props], axis=1)  # [B, K+1]
+        embeds = llm.embed(params, chunk).astype(inputs_embeds.dtype)
+        hidden, kv = llm.decode_chunk(params, cfg, kv, embeds, cache_len)
+        preds = pick(hidden.reshape(-1, h)).reshape(b, K + 1)
+
+        ok = props == preds[:, :K]                             # [B, K]
+        n_acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(-1)  # [B]
+        # emitted this iteration: emit[0] = cur, emit[1+j] = props[j] (j<acc)
+        emit = chunk                                           # [B, K+1]
+        emit_hid = jnp.concatenate([hid_cur[:, None], hidden[:, :K]], axis=1)
+        j = jnp.arange(K + 1)[None]
+        in_run = j <= n_acc[:, None]
+        # stop at the first EOS inside the accepted run
+        is_eos = (emit == eos_id) & in_run
+        has_eos = is_eos.any(-1)
+        eos_at = jnp.where(has_eos, jnp.argmax(is_eos, axis=-1), K + 1)
+        eff = jnp.minimum(n_acc + 1, jnp.minimum(eos_at + 1,
+                                                 max_new_tokens - n_gen))
+        eff = jnp.where(done, 0, jnp.maximum(eff, 0))
+
+        dest = jnp.where((j < eff[:, None]),
+                         n_gen[:, None] + j, max_new_tokens)   # drop invalid
+        out_tok = out_tok.at[bidx, dest].set(emit, mode="drop")
+        out_hid = out_hid.at[bidx, dest].set(emit_hid, mode="drop")
+        out_val = out_val.at[bidx, dest].set(True, mode="drop")
+        hist = hist.at[bidx, jnp.where(j < eff[:, None],
+                                       hlen[:, None] + j, l_hist)
+                       ].set(emit, mode="drop")
+        hlen = hlen + eff
+        n_gen = n_gen + eff
+        cache_len = cache_len + eff
+        new_cur_idx = jnp.clip(n_acc, 0, K)
+        new_cur = jnp.take_along_axis(preds, new_cur_idx[:, None], 1)[:, 0]
+        new_hid = jnp.take_along_axis(
+            hidden, new_cur_idx[:, None, None].repeat(h, 2), 1)[:, 0]
+        done = done | has_eos | (n_gen >= max_new_tokens)
+        cur = jnp.where(done, jnp.int32(pad_id), new_cur)
+        return (kv, cur, new_hid, done, n_gen, cache_len, hist, hlen,
+                out_tok, out_hid, out_val)
+
+    init = (kv_cache, token0, last_hidden, jnp.zeros((b,), bool),
+            jnp.zeros((b,), jnp.int32), lengths0, hist0, hlen0,
+            out_tok0, out_hid0, out_val0)
+    (_, _, _, _, n_gen, _, _, _, out_tok, out_hid, out_val) = \
+        jax.lax.while_loop(cond, body, init)
+    return GenerateResult(tokens=out_tok, pred_hidden=out_hid,
+                          lengths=out_val.astype(jnp.int32).sum(-1),
+                          prefill_hidden=prefill_hidden)
