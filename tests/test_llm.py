@@ -444,3 +444,32 @@ def test_chunked_prefill_matches_full():
                                    np.asarray(chunked.prefill_hidden,
                                               np.float32),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_int8_flat_cache_matches_heads_layout():
+    """kv_quant='int8_flat' (flat rows + block-diag XLA attention) produces
+    the same decode trajectory as the heads-layout int8 cache, for MHA and
+    GQA configs."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY, LLMConfig
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.runtime.generate import greedy_generate
+
+    gqa = LLMConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                    num_layers=2, num_heads=4, num_kv_heads=2)
+    for cfg in (LLAMA_TINY, gqa):
+        params = llm.init(jax.random.PRNGKey(13), cfg)
+        rng = np.random.RandomState(13)
+        ids = jnp.asarray(rng.randint(3, cfg.vocab_size, (2, 10)))
+        mask = jnp.ones((2, 10), bool)
+        x = llm.embed(params, ids)
+        heads = greedy_generate(params, cfg, x, mask, max_new_tokens=8,
+                                eos_id=2, kv_quant="int8")
+        flat = greedy_generate(params, cfg, x, mask, max_new_tokens=8,
+                               eos_id=2, kv_quant="int8_flat")
+        np.testing.assert_array_equal(np.asarray(heads.tokens),
+                                      np.asarray(flat.tokens))
+        a = np.asarray(flat.pred_hidden, np.float32)
+        b = np.asarray(heads.pred_hidden, np.float32)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert rel < 1e-4, rel     # same per-(token,kv) quantization grid

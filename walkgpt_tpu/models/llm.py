@@ -279,7 +279,12 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
     if layout == "flat":
         shape = (cfg.num_layers, batch, max_len,
                  cfg.num_kv_heads * cfg.head_dim)
-        assert not quant, "flat quantized cache not implemented"
+        if quant:
+            qdt = jnp.int4 if quant == "int4" else jnp.int8
+            sshape = shape[:-1] + (cfg.num_kv_heads,)   # per (token, kv head)
+            return {"k": jnp.zeros(shape, qdt), "v": jnp.zeros(shape, qdt),
+                    "k_scale": jnp.zeros(sshape, jnp.float32),
+                    "v_scale": jnp.zeros(sshape, jnp.float32)}
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if quant:
@@ -422,9 +427,24 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
                 bb, hkv, tt, dd = k_new.shape
                 dt = new_cache["k"].dtype
                 flat = lambda z: z.transpose(0, 2, 1, 3).reshape(
-                    bb, tt, hkv * dd).astype(dt)
-                new_cache["k"] = new_cache["k"].at[i, :, :t, :].set(flat(k_new))
-                new_cache["v"] = new_cache["v"].at[i, :, :t, :].set(flat(v_new))
+                    bb, tt, hkv * dd)
+                if "k_scale" in new_cache:
+                    # per (token, kv-head) scales on the [B, T, n_kv, D] view
+                    kq, ks = _quant_rows(k_new.transpose(0, 2, 1, 3), dt)
+                    vq, vs = _quant_rows(v_new.transpose(0, 2, 1, 3), dt)
+                    new_cache["k"] = new_cache["k"].at[i, :, :t, :].set(
+                        kq.reshape(bb, tt, hkv * dd))
+                    new_cache["v"] = new_cache["v"].at[i, :, :t, :].set(
+                        vq.reshape(bb, tt, hkv * dd))
+                    new_cache["k_scale"] = new_cache["k_scale"].at[
+                        i, :, :t, :].set(ks[..., 0])
+                    new_cache["v_scale"] = new_cache["v_scale"].at[
+                        i, :, :t, :].set(vs[..., 0])
+                else:
+                    new_cache["k"] = new_cache["k"].at[i, :, :t, :].set(
+                        flat(k_new).astype(dt))
+                    new_cache["v"] = new_cache["v"].at[i, :, :t, :].set(
+                        flat(v_new).astype(dt))
             elif "k_scale" in new_cache:
                 kq, ks = _quant_rows(k_new, new_cache["k"].dtype)
                 vq, vs = _quant_rows(v_new, new_cache["v"].dtype)
@@ -440,6 +460,46 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
                     v_new.astype(dt))
     x = _norm(params["final_norm"], x, cfg)
     return x, new_cache
+
+
+def _flat_quant_decode_attention(q, k_q, ks, v_q, vs, key_mask, n_kv: int):
+    """One-token attention over a FLAT int8 cache at full HBM row rate,
+    XLA-only (no custom-call launch overhead).
+
+    The heads-layout cache reads 128-byte [D] rows per (kv, position) —
+    ~50-60% of peak DMA on v5e. Here the cache rows are [n_kv*D] (4-8 KB,
+    full rate) and the score contraction runs as ONE batched dot against a
+    BLOCK-DIAGONAL query matrix: with qblk[(kv,d), h] = q[h, d] iff
+    kv == h // n_rep,   s[l, h] = k_flat[l] . qblk[:, h].
+    The MXU does n_kv x the minimal FLOP count — irrelevant next to the DMA
+    it saves. PV runs as a grouped einsum over the [L, n_kv, D] view (reads
+    v_flat once, l-major contiguous). Per-(token, kv) scales fold outside
+    both contractions like _int8_kv_decode_attention.
+
+    q: [B, H, 1, D]; k_q/v_q: [B, L, n_kv*D] int8; ks/vs: [B, L, n_kv] f32;
+    key_mask: [B, L]. Returns [B, H, 1, D]."""
+    b, h, _, d = q.shape
+    l = k_q.shape[1]
+    kd = k_q.shape[-1]
+    n_rep = h // n_kv
+    qf = q[:, :, 0] * (1.0 / math.sqrt(d))                  # [B, H, D]
+    eye = ((jnp.arange(h) // n_rep)[:, None]
+           == jnp.arange(n_kv)[None]).astype(qf.dtype)      # [H, n_kv]
+    # [B, n_kv, D, H] -> [B, KD, H]
+    qblk = (qf.transpose(0, 2, 1)[:, None] * eye.T[None, :, None, :])
+    qblk = qblk.reshape(b, kd, h)
+    s = jax.lax.dot_general(k_q.astype(qf.dtype), qblk,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # [B, L, H]
+    s = s * jnp.repeat(ks, n_rep, axis=-1)
+    s = jnp.where(key_mask[:, :, None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=1)
+    pv = (p * jnp.repeat(vs, n_rep, axis=-1)).astype(q.dtype)   # [B, L, H]
+    out = jnp.einsum("blkr,blkd->bkrd",
+                     pv.reshape(b, l, n_kv, n_rep),
+                     v_q.reshape(b, l, n_kv, d).astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, h, 1, d).astype(q.dtype)
 
 
 def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
@@ -542,19 +602,40 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             q = apply_rope(q, cos, sin, rot_dim)
             k1 = apply_rope(k1, cos, sin, rot_dim)
         if flat:
-            # flat cache + fused Pallas attention: 4-8 KB cache rows and no
-            # head-split relayout of the cache read
-            from ..ops.flash_attention import decode_attention
             dt = out_cache["k"].dtype
             kd = out_cache["k"].shape[-1]
+            if bias is not None:
+                raise NotImplementedError(
+                    "flat-cache decode supports rope/no-bias models; "
+                    "use the heads-layout cache for ALiBi")
+            if quant:
+                # flat int8 cache + XLA block-diag attention: full-rate
+                # cache rows, no custom-call overhead
+                kq, ksc = _quant_rows(k1[:, :, 0], dt)   # [B, n_kv, D]
+                vq, vsc = _quant_rows(v1[:, :, 0], dt)
+                out_cache["k"] = out_cache["k"].at[
+                    i, batch_idx, cache_len].set(kq.reshape(b, kd))
+                out_cache["v"] = out_cache["v"].at[
+                    i, batch_idx, cache_len].set(vq.reshape(b, kd))
+                out_cache["k_scale"] = out_cache["k_scale"].at[
+                    i, batch_idx, cache_len].set(ksc[..., 0])
+                out_cache["v_scale"] = out_cache["v_scale"].at[
+                    i, batch_idx, cache_len].set(vsc[..., 0])
+                att = _flat_quant_decode_attention(
+                    q, out_cache["k"][i], out_cache["k_scale"][i],
+                    out_cache["v"][i], out_cache["v_scale"][i], key_mask,
+                    cfg.num_kv_heads)
+                x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
+                x = x + _mlp(layer["mlp"],
+                             _norm(layer["post_norm"], x, cfg), cfg)
+                continue
+            # flat fp cache + fused Pallas attention: 4-8 KB cache rows and
+            # no head-split relayout of the cache read
+            from ..ops.flash_attention import decode_attention
             out_cache["k"] = out_cache["k"].at[i, batch_idx, cache_len].set(
                 k1[:, :, 0].reshape(b, kd).astype(dt))
             out_cache["v"] = out_cache["v"].at[i, batch_idx, cache_len].set(
                 v1[:, :, 0].reshape(b, kd).astype(dt))
-            if bias is not None:
-                raise NotImplementedError(
-                    "fused decode attention supports rope/no-bias models; "
-                    "use the heads-layout cache for ALiBi")
             att = decode_attention(
                 q[:, :, 0].reshape(b, cfg.num_heads * cfg.head_dim),
                 out_cache["k"], out_cache["v"], key_mask,

@@ -104,7 +104,11 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     max_len = t + max_new_tokens
     cache_dtype = inputs_embeds.dtype
     layout = "heads"
-    if cfg.fused_decode and cfg.pos_emb == "rope" and not kv_quant:
+    if kv_quant == "int8_flat":
+        # flat int8 cache + XLA block-diag decode attention: full-rate cache
+        # rows without custom-call overhead (llm._flat_quant_decode_attention)
+        layout, kv_quant = "flat", "int8"
+    elif cfg.fused_decode and cfg.pos_emb == "rope" and not kv_quant:
         # flat cache (fused Pallas decode attention) wants a block-multiple
         # length; the extra masked slots are free
         from ..ops.flash_attention import DECODE_BLOCK
@@ -223,6 +227,8 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     the generated text. Returns GenerateResult like greedy_generate."""
     b, t, h = inputs_embeds.shape
     max_len = t + max_new_tokens
+    if kv_quant == "int8_flat":
+        kv_quant = "int8"      # chunk verification needs the heads layout
     kv_cache = llm.init_kv_cache(cfg, b, max_len, dtype=inputs_embeds.dtype,
                                  quant=kv_quant)
 
