@@ -126,16 +126,20 @@ def main():
     # 7B/13B need int8 weights to fit one v5e-16G chip (bf16 14/26 GB)
     quant = os.environ.get("BENCH_QUANT",
                            "int8" if model_kind in ("7b", "13b") else "")
-    if quant in ("int8", "w8a8"):
+    if quant in ("int8", "w8a8", "int4"):
         # incremental on-device init: each layer's bf16 weights exist only
         # transiently before quantization, so 7B/13B fit the chip and no
         # multi-GB host->device transfer happens (the tunneled link is slow).
         # w8a8 additionally quantizes activations per token at runtime ->
         # native int8 MXU dots (no per-element weight dequant on the VPU).
+        # int4 = w8a8 attention/head + nibble-packed int4 MLPs decoded by
+        # the one-launch fused Pallas kernel (ops/int4.py): halves the
+        # dominant decode weight reads and frees HBM for decode batch.
         # BENCH_SAM=int8 quantizes the SAM encoder blocks too (HBM headroom
         # for decode batch at 7B/13B).
         params = walkgpt.init_quantized(jax.random.PRNGKey(0), cfg, dtype,
-                                        act_quant=quant == "w8a8",
+                                        act_quant=quant in ("w8a8", "int4"),
+                                        mlp_int4=quant == "int4",
                                         sam_int8=os.environ.get(
                                             "BENCH_SAM", "") == "int8")
     else:

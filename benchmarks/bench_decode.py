@@ -45,18 +45,18 @@ def main():
     t_prompt = 400
     dtype = jnp.bfloat16
 
-    def llm_params(act_quant: bool):
+    def llm_params(q: str):
         key = jax.random.PRNGKey(0)
         return quant_lib.quantized_llm_init(key, lcfg, dtype,
-                                            act_quant=act_quant)
+                                            act_quant=q in ("w8a8", "int4"),
+                                            mlp_int4=q == "int4")
 
     params_cache = {}
     for combo in combos:
         q, kv = combo.split(":")
-        aq = q == "w8a8"
-        if aq not in params_cache:
-            params_cache[aq] = llm_params(aq)
-        params = params_cache[aq]
+        if q not in params_cache:
+            params_cache[q] = llm_params(q)
+        params = params_cache[q]
         emb = jax.random.normal(jax.random.PRNGKey(1),
                                 (batch, t_prompt, lcfg.hidden_size), dtype)
         mask = jnp.ones((batch, t_prompt), bool)

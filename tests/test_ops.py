@@ -150,3 +150,162 @@ def test_w8a8_linear_close_to_float():
     got2 = nn.linear(q2, x)
     err2 = float(np.max(np.abs(np.asarray(got2) - np.asarray(ref)))) / scale
     assert err2 < err, (err2, err)
+
+
+# ---------------------------------------------------------------------------
+# packed int4 weights + fused MLP kernel (ops/int4.py)
+# ---------------------------------------------------------------------------
+
+def test_int4_pack_dequant_roundtrip():
+    """quantize_weight4/dequantize4 reproduce per-channel symmetric int4
+    round-to-nearest: |w - deq| <= scale/2 elementwise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.ops.int4 import dequantize4, quantize_weight4
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 48), jnp.float32)
+    q = quantize_weight4(w)
+    assert q["w_p4"].shape == (32, 48) and q["w_p4"].dtype == jnp.int8
+    deq = dequantize4(q)
+    err = np.abs(np.asarray(w) - np.asarray(deq))
+    bound = np.asarray(q["w_scale"]) / 2 + 1e-6
+    # clipped tail values can exceed scale/2 by the clip amount; absmax rows
+    # are exact, interior rounds to nearest
+    assert (err <= np.maximum(bound, np.abs(np.asarray(w)) - 7 * np.asarray(
+        q["w_scale"]) + bound)).all()
+
+
+def test_int4_linear_matches_explicit_dequant():
+    """core.nn.linear on a {"w_p4","w_scale"} dict == x @ dequantize4 in
+    fp32 (the dual-dot is an exact reassociation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.core import nn
+    from walkgpt_tpu.ops.int4 import dequantize4, quantize_weight4
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 48), jnp.float32)
+    q = quantize_weight4(w)
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 64), jnp.float32)
+    got = nn.linear(q, x)
+    ref = x @ dequantize4(q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_pack_down4_matches_plain_int4():
+    """Tile-local down packing dequantizes to the same matrix as the plain
+    per-channel int4 quantization of the same weight."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.ops.int4 import (DEFAULT_MLP_TILE, dequantize4,
+                                      dequantize_down4, pack_down4,
+                                      quantize_weight4)
+
+    i_dim = 2 * DEFAULT_MLP_TILE
+    w = jax.random.normal(jax.random.PRNGKey(3), (i_dim, 64), jnp.float32)
+    a = dequantize_down4(pack_down4(w))
+    b = dequantize4(quantize_weight4(w))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+def test_fused_mlp_int4_matches_xla_fallback():
+    """The one-launch Pallas MLP kernel (interpret mode on CPU) matches the
+    XLA dual-dot fallback and the explicit dequantized composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.core.config import LLMConfig
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.ops.int4 import (DEFAULT_MLP_TILE, dequantize4,
+                                      dequantize_down4, fused_mlp_int4,
+                                      mlp_int4_xla)
+    from walkgpt_tpu.ops.quant import convert_mlp_int4
+
+    cfg = LLMConfig(hidden_size=64, intermediate_size=2 * DEFAULT_MLP_TILE,
+                    num_layers=1, num_heads=4, num_kv_heads=4)
+    layer = llm.init_layer(jax.random.PRNGKey(4), cfg, jnp.float32)
+    mlp_q = convert_mlp_int4(layer["mlp"])
+    assert "w_p4t" in mlp_q["down"], "int4 packing should engage"
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(5), (2, 3, 64),
+                                jnp.float32)
+    fused = fused_mlp_int4(mlp_q, x, "silu")
+    xla = mlp_int4_xla(mlp_q, x, "silu")
+    g = dequantize4(mlp_q["gate"])
+    u = dequantize4(mlp_q["up"])
+    d = dequantize_down4(mlp_q["down"])
+    xf = x.reshape(-1, 64)
+    ref = (jax.nn.silu(xf @ g) * (xf @ u)) @ d
+    ref = ref.reshape(x.shape)
+    # kernel casts h to bf16; fallback keeps x.dtype (fp32 here) -> compare
+    # against the f32 reference with a bf16-h tolerance
+    scale = float(np.abs(np.asarray(ref)).max()) + 1e-9
+    assert np.max(np.abs(np.asarray(xla) - np.asarray(ref))) / scale < 1e-5
+    assert np.max(np.abs(np.asarray(fused) - np.asarray(ref))) / scale < 2e-2
+    # dispatcher picks the fused path for decode rows and runs in _mlp
+    out = llm._mlp(mlp_q, x, cfg)
+    assert out.shape == x.shape
+
+
+def test_int4_llm_generates_and_tracks_dense():
+    """A mlp_int4-quantized tiny LLM decodes finite tokens, and one forward
+    stays within quantization noise of the dequantized dense model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.core.config import LLMConfig
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.ops.int4 import DEFAULT_MLP_TILE, dequantize4, \
+        dequantize_down4
+    from walkgpt_tpu.ops.quant import quantized_llm_init
+    from walkgpt_tpu.runtime.generate import greedy_generate
+
+    cfg = LLMConfig(vocab_size=128, hidden_size=64,
+                    intermediate_size=2 * DEFAULT_MLP_TILE, num_layers=2,
+                    num_heads=4, num_kv_heads=4, max_position_embeddings=128)
+    key = jax.random.PRNGKey(6)
+    params = quantized_llm_init(key, cfg, jnp.float32, jit_layer=False,
+                                mlp_int4=True)
+    assert "w_p4t" in params["layers"][0]["mlp"]["down"]
+
+    # dense twin: dequantize every projection
+    def deq_proj(p):
+        if "w_p4t" in p:
+            return {"w": dequantize_down4(p)}
+        if "w_p4" in p:
+            return {"w": dequantize4(p)}
+        if "w_q" in p:
+            d = {"w": p["w_q"].astype(jnp.float32) * p["w_scale"]}
+            if "b" in p:
+                d["b"] = p["b"]
+            return d
+        return p
+
+    dense = jax.tree_util.tree_map(
+        lambda x: x, params)
+    dense = {
+        "embed_tokens": params["embed_tokens"],
+        "final_norm": params["final_norm"],
+        "lm_head": deq_proj(params["lm_head"]),
+        "layers": [
+            {"input_norm": l["input_norm"], "post_norm": l["post_norm"],
+             "attn": {k: (deq_proj(v) if isinstance(v, dict) else v)
+                      for k, v in l["attn"].items()},
+             "mlp": {k: (deq_proj(v) if isinstance(v, dict) else v)
+                     for k, v in l["mlp"].items()}}
+            for l in params["layers"]],
+    }
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (2, 6, 64),
+                                jnp.float32)
+    hq, _ = llm.forward(params, cfg, x)
+    hd, _ = llm.forward(dense, cfg, x)
+    scale = float(np.abs(np.asarray(hd)).max()) + 1e-9
+    assert np.max(np.abs(np.asarray(hq) - np.asarray(hd))) / scale < 2e-2
+
+    emb = llm.embed(params, jnp.arange(12).reshape(2, 6))
+    res = greedy_generate(params, cfg, emb, jnp.ones((2, 6), bool),
+                          max_new_tokens=8, eos_id=-1)
+    toks = np.asarray(res.tokens)
+    assert toks.shape == (2, 8) and (toks >= 0).all() and (toks < 128).all()

@@ -111,6 +111,15 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
         return y
+    if "w_p4" in p:  # nibble-packed int4, half-pair layout (ops/int4.py)
+        k2 = p["w_p4"].shape[0]
+        p32 = p["w_p4"].astype(jnp.int32)
+        lo = ((p32 << 28) >> 28).astype(x.dtype)
+        hi = (p32 >> 4).astype(x.dtype)
+        y = (x[..., :k2] @ lo + x[..., k2:] @ hi) * p["w_scale"].astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
     y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]

@@ -180,6 +180,11 @@ def _proj(p, x):
 
 
 def _mlp(p, x, cfg: LLMConfig):
+    if "w_p4t" in p.get("down", p.get("fc2", {})):
+        # nibble-packed int4 MLP: ONE fused Pallas launch per decode step
+        # (0.5 bytes/param weight reads), XLA dual-dots for full sequences
+        from ..ops.int4 import mlp_int4
+        return mlp_int4(p, x, cfg.act)
     if cfg.act == "silu":
         return nn.linear(p["down"],
                          jax.nn.silu(nn.linear(p["gate"], x)) * nn.linear(p["up"], x))

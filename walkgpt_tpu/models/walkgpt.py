@@ -72,19 +72,24 @@ def init(key, cfg: WalkGPTConfig, dtype=jnp.float32, *, llm_init=None) -> Dict:
 
 
 def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
-                   act_quant: bool = False, sam_int8: bool = False) -> Dict:
+                   act_quant: bool = False, sam_int8: bool = False,
+                   mlp_int4: bool = False) -> Dict:
     """Same layout/keys as init(), but the LLM is built int8-quantized
     incrementally on the default device — a 7B/13B model fits a 16 GB chip
     without the full bf16 tree (or a multi-GB host->device transfer) ever
     existing. act_quant=True marks projections for W8A8 dynamic-activation
     int8 (native MXU int8 dot). sam_int8=True additionally quantizes the SAM
     encoder block projections (~0.6 GB HBM freed at ViT-H — headroom the
-    single-chip 7B/13B configs spend on decode batch)."""
+    single-chip 7B/13B configs spend on decode batch). mlp_int4=True packs
+    the LLM MLPs as nibble-packed int4 for the one-launch fused decode
+    kernel (ops/int4.py) — halves the decode loop's dominant weight reads
+    AND frees ~2/4 GB HBM at 7B/13B for more decode batch."""
     import functools
     from ..ops.quant import quantize_sam_encoder, quantized_llm_init
     params = init(key, cfg, dtype,
                   llm_init=functools.partial(quantized_llm_init,
-                                             act_quant=act_quant))
+                                             act_quant=act_quant,
+                                             mlp_int4=mlp_int4))
     if sam_int8:
         params["sam"] = quantize_sam_encoder(params["sam"],
                                              act_quant=act_quant)

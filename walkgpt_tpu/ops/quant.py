@@ -41,13 +41,18 @@ def _is_proj(d: Any) -> bool:
 
 
 def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
-                       act_quant: bool = False) -> Dict:
+                       act_quant: bool = False,
+                       mlp_int4: bool = False) -> Dict:
     """Random-init an int8-quantized LLM directly on the default device,
     one layer at a time: each layer's bf16 weights exist only transiently
     (freed after quantization), so a 7B/13B int8 model can be built on a
     16 GB chip without ever holding the full bf16 tree in HBM — and without
     shipping gigabytes over a (slow, tunneled) host->device link the way a
-    host-side init + device_put would."""
+    host-side init + device_put would.
+
+    mlp_int4=True packs the MLP projections as nibble-packed int4 for the
+    one-launch fused decode kernel (ops/int4.py) — 0.5 bytes/param on the
+    decode loop's dominant weight traffic; attention/lm_head stay int8."""
     import jax
     import jax.numpy as jnp
     from ..models import llm as llm_mod
@@ -59,8 +64,12 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
         layer = llm_mod.init_layer(k, cfg, dtype)
         layer["attn"] = {kk: (convert_proj(v, act_quant) if _is_proj(v) else v)
                          for kk, v in layer["attn"].items()}
-        layer["mlp"] = {kk: (convert_proj(v, act_quant) if _is_proj(v) else v)
-                        for kk, v in layer["mlp"].items()}
+        if mlp_int4:
+            layer["mlp"] = convert_mlp_int4(layer["mlp"])
+        else:
+            layer["mlp"] = {kk: (convert_proj(v, act_quant) if _is_proj(v)
+                                 else v)
+                            for kk, v in layer["mlp"].items()}
         return layer
 
     if jit_layer:
@@ -86,6 +95,33 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
                               bias=False, dtype=dtype)
         params["lm_head"] = convert_proj(head, act_quant)
     return params
+
+
+def convert_mlp_int4(mlp: Dict) -> Dict:
+    """Pack an MLP param dict for the fused int4 decode kernel
+    (ops/int4.fused_mlp_int4): gate/up (or fc1) -> half-pair packed
+    {"w_p4", "w_scale"}; down (or fc2) -> tile-local packed {"w_p4t", ...}.
+    Falls back to the dict unchanged when a projection has a bias (the int4
+    kernel is bias-free; LLaMA/MPT MLPs have no biases) or an odd dim."""
+    from . import int4 as int4_lib
+    first = "gate" if "gate" in mlp else "fc1"
+    last = "down" if "down" in mlp else "fc2"
+    if any("b" in mlp[k] for k in mlp if isinstance(mlp[k], dict)):
+        return {k: (convert_proj(v) if _is_proj(v) else v)
+                for k, v in mlp.items()}
+    w_last = mlp[last]["w"]
+    if w_last.shape[0] % 2 or mlp[first]["w"].shape[0] % 2:
+        return {k: (convert_proj(v) if _is_proj(v) else v)
+                for k, v in mlp.items()}
+    out = {}
+    for k, v in mlp.items():
+        if k == last:
+            out[k] = int4_lib.pack_down4(v["w"])
+        elif _is_proj(v):
+            out[k] = int4_lib.quantize_weight4(v["w"])
+        else:
+            out[k] = v
+    return out
 
 
 def convert_proj(d: Dict, act_quant: bool = False) -> Dict:
@@ -125,18 +161,22 @@ def quantize_sam_encoder(sam_params: Dict, act_quant: bool = False) -> Dict:
 
 
 def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
-                 act_quant: bool = False) -> Dict:
+                 act_quant: bool = False, mlp_int4: bool = False) -> Dict:
     """int8-quantize all 2-D projection weights of an LLM param tree
     (attention q/k/v/o, MLP, lm_head; embeddings optional — the embedding
-    gather reads one row per token, so quantizing it saves little)."""
+    gather reads one row per token, so quantizing it saves little).
+    mlp_int4=True packs the MLPs as int4 instead (ops/int4.py)."""
     p = {k: v for k, v in llm_params.items()}
     p["layers"] = []
     for layer in llm_params["layers"]:
         new_layer = dict(layer)
         new_layer["attn"] = {k: (convert_proj(v, act_quant) if _is_proj(v)
                                  else v) for k, v in layer["attn"].items()}
-        new_layer["mlp"] = {k: (convert_proj(v, act_quant) if _is_proj(v)
-                                else v) for k, v in layer["mlp"].items()}
+        if mlp_int4:
+            new_layer["mlp"] = convert_mlp_int4(layer["mlp"])
+        else:
+            new_layer["mlp"] = {k: (convert_proj(v, act_quant) if _is_proj(v)
+                                    else v) for k, v in layer["mlp"].items()}
         p["layers"].append(new_layer)
     if "lm_head" in p and _is_proj(p["lm_head"]):
         p["lm_head"] = convert_proj(p["lm_head"], act_quant)
