@@ -126,7 +126,7 @@ def main():
     # 7B/13B need int8 weights to fit one v5e-16G chip (bf16 14/26 GB)
     quant = os.environ.get("BENCH_QUANT",
                            "int8" if model_kind in ("7b", "13b") else "")
-    if quant in ("int8", "w8a8", "int4"):
+    if quant in ("int8", "w8a8", "int4", "int4x"):
         # incremental on-device init: each layer's bf16 weights exist only
         # transiently before quantization, so 7B/13B fit the chip and no
         # multi-GB host->device transfer happens (the tunneled link is slow).
@@ -135,11 +135,16 @@ def main():
         # int4 = w8a8 attention/head + nibble-packed int4 MLPs decoded by
         # the one-launch fused Pallas kernel (ops/int4.py): halves the
         # dominant decode weight reads and frees HBM for decode batch.
+        # int4x additionally packs fused-QKV and lm_head as int4 (13B: the
+        # attention projections are 4.2 GB/step of int8 reads).
         # BENCH_SAM=int8 quantizes the SAM encoder blocks too (HBM headroom
         # for decode batch at 7B/13B).
         params = walkgpt.init_quantized(jax.random.PRNGKey(0), cfg, dtype,
-                                        act_quant=quant in ("w8a8", "int4"),
-                                        mlp_int4=quant == "int4",
+                                        act_quant=quant in ("w8a8", "int4",
+                                                            "int4x"),
+                                        mlp_int4=quant in ("int4", "int4x"),
+                                        attn_int4=quant == "int4x",
+                                        head_int4=quant == "int4x",
                                         sam_int8=os.environ.get(
                                             "BENCH_SAM", "") == "int8")
     else:

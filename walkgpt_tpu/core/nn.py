@@ -278,8 +278,17 @@ def gelu_tanh(x):
 
 
 def count_params(tree) -> int:
-    return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree)
-               if hasattr(x, "size"))
+    """Logical parameter count: nibble-packed int4 buffers (w_p4/w_p4t,
+    ops/int4.py) store TWO weights per int8 element, so they count double —
+    a 7B model reports 7B whether dense, int8, or int4-packed."""
+    total = 0
+    for path, x in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if not hasattr(x, "size"):
+            continue
+        key = path[-1]
+        name = getattr(key, "key", getattr(key, "name", None))
+        total += int(x.size) * (2 if name in ("w_p4", "w_p4t") else 1)
+    return total
 
 
 def cast_tree(tree, dtype):

@@ -191,6 +191,20 @@ def _mlp(p, x, cfg: LLMConfig):
     return nn.linear(p["fc2"], nn.gelu_exact(nn.linear(p["fc1"], x)))
 
 
+def _qkv_proj(p, x, cfg: LLMConfig):
+    """q/k/v projections; with int4-fused attention ("qkv4",
+    ops/quant.convert_attn_int4) the three run as ONE packed int4 matmul —
+    a single Pallas launch per decode step, single HBM read of the packed
+    bytes (falls back to XLA dual-dots for prefill row counts)."""
+    if "qkv4" in p:
+        from ..ops.int4 import int4_matmul_pallas
+        qkv = int4_matmul_pallas(x, p["qkv4"]["w_p4"], p["qkv4"]["w_scale"])
+        hq = cfg.num_heads * cfg.head_dim
+        kvd = cfg.num_kv_heads * cfg.head_dim
+        return qkv[..., :hq], qkv[..., hq:hq + kvd], qkv[..., hq + kvd:]
+    return _proj(p["q"], x), _proj(p["k"], x), _proj(p["v"], x)
+
+
 def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
     """[B, n_kv, T, D] -> [B, n_kv*n_rep, T, D] (GQA repeat)."""
     if n_rep == 1:
@@ -214,9 +228,10 @@ def _attention(p, cfg: LLMConfig, x: jnp.ndarray, *,
     flash_fn: fn(q, k, v, key_valid) implementing *causal* attention — used
     for full-sequence forwards without an explicit bias (the Pallas kernel)."""
     b, t, _ = x.shape
-    q = split_heads(_proj(p["q"], x), cfg.num_heads)
-    k = split_heads(_proj(p["k"], x), cfg.num_kv_heads)
-    v = split_heads(_proj(p["v"], x), cfg.num_kv_heads)
+    qp, kp, vp = _qkv_proj(p, x, cfg)
+    q = split_heads(qp, cfg.num_heads)
+    k = split_heads(kp, cfg.num_kv_heads)
+    v = split_heads(vp, cfg.num_kv_heads)
 
     if cfg.pos_emb == "rope":
         rot_dim = int(cfg.head_dim * cfg.rope_pct)
@@ -249,7 +264,13 @@ def _block(p, cfg: LLMConfig, x, **attn_kw):
 def lm_logits(params: Params, cfg: LLMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     if cfg.tie_embeddings:
         return hidden @ params["embed_tokens"]["w"].T
-    return nn.linear(params["lm_head"], hidden)   # dense or int8
+    head = params["lm_head"]
+    if "w_p4" in head and "b" not in head:
+        # single-launch packed-int4 head for decode rows (pallas); XLA
+        # dual-dot fallback for full sequences lives inside the helper
+        from ..ops.int4 import int4_matmul_pallas
+        return int4_matmul_pallas(hidden, head["w_p4"], head["w_scale"])
+    return nn.linear(head, hidden)   # dense, int8, or int4 dual-dot
 
 
 def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
@@ -534,9 +555,10 @@ def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
     mask = key_pos[None, None, None, :] <= positions[:, None, :, None]
     for i, layer in enumerate(params["layers"]):
         h_in = _norm(layer["input_norm"], x, cfg)
-        q = split_heads(_proj(layer["attn"]["q"], h_in), cfg.num_heads)
-        k1 = split_heads(_proj(layer["attn"]["k"], h_in), cfg.num_kv_heads)
-        v1 = split_heads(_proj(layer["attn"]["v"], h_in), cfg.num_kv_heads)
+        qp, kp, vp = _qkv_proj(layer["attn"], h_in, cfg)
+        q = split_heads(qp, cfg.num_heads)
+        k1 = split_heads(kp, cfg.num_kv_heads)
+        v1 = split_heads(vp, cfg.num_kv_heads)
         rot_dim = int(cfg.head_dim * cfg.rope_pct)
         cos, sin = rope_tables(cfg, positions)
         q = apply_rope(q, cos, sin, rot_dim)
@@ -598,9 +620,10 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
     for i, layer in enumerate(params["layers"]):
         h_in = _norm(layer["input_norm"], x, cfg)
         # compute this step's k/v, then scatter into the cache at cache_len
-        q = split_heads(_proj(layer["attn"]["q"], h_in), cfg.num_heads)
-        k1 = split_heads(_proj(layer["attn"]["k"], h_in), cfg.num_kv_heads)
-        v1 = split_heads(_proj(layer["attn"]["v"], h_in), cfg.num_kv_heads)
+        qp, kp, vp = _qkv_proj(layer["attn"], h_in, cfg)
+        q = split_heads(qp, cfg.num_heads)
+        k1 = split_heads(kp, cfg.num_kv_heads)
+        v1 = split_heads(vp, cfg.num_kv_heads)
         if cfg.pos_emb == "rope":
             rot_dim = int(cfg.head_dim * cfg.rope_pct)
             cos, sin = rope_tables(cfg, positions)

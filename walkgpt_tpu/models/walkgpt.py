@@ -73,7 +73,8 @@ def init(key, cfg: WalkGPTConfig, dtype=jnp.float32, *, llm_init=None) -> Dict:
 
 def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
                    act_quant: bool = False, sam_int8: bool = False,
-                   mlp_int4: bool = False) -> Dict:
+                   mlp_int4: bool = False, attn_int4: bool = False,
+                   head_int4: bool = False) -> Dict:
     """Same layout/keys as init(), but the LLM is built int8-quantized
     incrementally on the default device — a 7B/13B model fits a 16 GB chip
     without the full bf16 tree (or a multi-GB host->device transfer) ever
@@ -89,7 +90,9 @@ def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
     params = init(key, cfg, dtype,
                   llm_init=functools.partial(quantized_llm_init,
                                              act_quant=act_quant,
-                                             mlp_int4=mlp_int4))
+                                             mlp_int4=mlp_int4,
+                                             attn_int4=attn_int4,
+                                             head_int4=head_int4))
     if sam_int8:
         params["sam"] = quantize_sam_encoder(params["sam"],
                                              act_quant=act_quant)

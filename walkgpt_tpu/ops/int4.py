@@ -297,3 +297,55 @@ def mlp_int4(mlp_params: Dict, x: jnp.ndarray, act: str) -> jnp.ndarray:
     if rows <= FUSED_MLP_MAX_ROWS:
         return fused_mlp_int4(mlp_params, x, act)
     return mlp_int4_xla(mlp_params, x, act)
+
+
+# ---------------------------------------------------------------------------
+# generic one-launch int4 matmul (fused QKV / lm_head decode projections)
+# ---------------------------------------------------------------------------
+
+def _mm_kernel(xl_ref, xh_ref, p_ref, s_ref, o_ref):
+    lo, hi = unpack4(p_ref[:])
+    acc = jnp.dot(xl_ref[:], lo, preferred_element_type=jnp.float32) \
+        + jnp.dot(xh_ref[:], hi, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[:]).astype(o_ref.dtype)
+
+
+DEFAULT_MM_TILE = 512
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mm_call(xl, xh, p, s, *, interpret: bool):
+    b, k2 = xl.shape
+    n = p.shape[1]
+    tile = DEFAULT_MM_TILE
+    while n % tile:
+        tile //= 2
+    y = pl.pallas_call(
+        _mm_kernel,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((b, k2), lambda j: (0, 0)),
+            pl.BlockSpec((b, k2), lambda j: (0, 0)),
+            pl.BlockSpec((k2, tile), lambda j: (0, j)),
+            pl.BlockSpec((1, tile), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((b, tile), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, n), xl.dtype),
+        interpret=interpret,
+    )(xl, xh, p, s.reshape(1, n))
+    return y
+
+
+def int4_matmul_pallas(x: jnp.ndarray, p: jnp.ndarray, s: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Single-launch Pallas int4 matmul for decode-sized row counts: reads
+    the packed buffer ONCE from HBM (the XLA dual-dot reads it per dot).
+    Falls back to the dual-dot for large row counts (prefill)."""
+    shape = x.shape
+    k = shape[-1]
+    xf = x.reshape(-1, k)
+    if xf.shape[0] > FUSED_MLP_MAX_ROWS:
+        return int4_matmul(x, p, s)
+    y = _mm_call(xf[:, : k // 2], xf[:, k // 2:], p, s,
+                 interpret=_interpret())
+    return y.reshape(shape[:-1] + (p.shape[1],))

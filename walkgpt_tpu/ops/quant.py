@@ -42,7 +42,9 @@ def _is_proj(d: Any) -> bool:
 
 def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
                        act_quant: bool = False,
-                       mlp_int4: bool = False) -> Dict:
+                       mlp_int4: bool = False,
+                       attn_int4: bool = False,
+                       head_int4: bool = False) -> Dict:
     """Random-init an int8-quantized LLM directly on the default device,
     one layer at a time: each layer's bf16 weights exist only transiently
     (freed after quantization), so a 7B/13B int8 model can be built on a
@@ -62,8 +64,12 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
 
     def build_one(k):
         layer = llm_mod.init_layer(k, cfg, dtype)
-        layer["attn"] = {kk: (convert_proj(v, act_quant) if _is_proj(v) else v)
-                         for kk, v in layer["attn"].items()}
+        if attn_int4:
+            layer["attn"] = convert_attn_int4(layer["attn"], act_quant)
+        else:
+            layer["attn"] = {kk: (convert_proj(v, act_quant) if _is_proj(v)
+                                  else v)
+                             for kk, v in layer["attn"].items()}
         if mlp_int4:
             layer["mlp"] = convert_mlp_int4(layer["mlp"])
         else:
@@ -93,7 +99,11 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
     if not cfg.tie_embeddings:
         head = nn.linear_init(keys[-2], cfg.hidden_size, cfg.vocab_size,
                               bias=False, dtype=dtype)
-        params["lm_head"] = convert_proj(head, act_quant)
+        if head_int4:
+            from . import int4 as int4_lib
+            params["lm_head"] = int4_lib.quantize_weight4(head["w"])
+        else:
+            params["lm_head"] = convert_proj(head, act_quant)
     return params
 
 
@@ -121,6 +131,29 @@ def convert_mlp_int4(mlp: Dict) -> Dict:
             out[k] = int4_lib.quantize_weight4(v["w"])
         else:
             out[k] = v
+    return out
+
+
+def convert_attn_int4(attn: Dict, act_quant: bool = True) -> Dict:
+    """Pack q/k/v into ONE concatenated int4 projection ("qkv4") decoded by
+    a single Pallas launch per step (ops/int4.int4_matmul_pallas); the o
+    projection stays int8 (a lone int4 launch loses to W8A8 at its size).
+    Falls back to per-projection int8 when biases or LoRA leaves are present
+    (int4 is an inference-only deployment format; merge LoRA first)."""
+    from . import int4 as int4_lib
+    import jax.numpy as jnp
+    qkv = [attn.get(k) for k in ("q", "k", "v")]
+    if (not all(_is_proj(p) for p in qkv)
+            or any("b" in p or "lora_a" in p for p in qkv)
+            or attn["q"]["w"].shape[0] % 2):
+        return {k: (convert_proj(v, act_quant) if _is_proj(v) else v)
+                for k, v in attn.items()}
+    w = jnp.concatenate([p["w"] for p in qkv], axis=1)
+    out = {"qkv4": int4_lib.quantize_weight4(w)}
+    for k, v in attn.items():
+        if k in ("q", "k", "v"):
+            continue
+        out[k] = convert_proj(v, act_quant) if _is_proj(v) else v
     return out
 
 
@@ -161,17 +194,22 @@ def quantize_sam_encoder(sam_params: Dict, act_quant: bool = False) -> Dict:
 
 
 def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
-                 act_quant: bool = False, mlp_int4: bool = False) -> Dict:
+                 act_quant: bool = False, mlp_int4: bool = False,
+                 attn_int4: bool = False, head_int4: bool = False) -> Dict:
     """int8-quantize all 2-D projection weights of an LLM param tree
     (attention q/k/v/o, MLP, lm_head; embeddings optional — the embedding
     gather reads one row per token, so quantizing it saves little).
-    mlp_int4=True packs the MLPs as int4 instead (ops/int4.py)."""
+    mlp_int4/attn_int4/head_int4 pack those groups as int4 instead
+    (ops/int4.py; attn_int4 fuses q/k/v into one packed projection)."""
     p = {k: v for k, v in llm_params.items()}
     p["layers"] = []
     for layer in llm_params["layers"]:
         new_layer = dict(layer)
-        new_layer["attn"] = {k: (convert_proj(v, act_quant) if _is_proj(v)
-                                 else v) for k, v in layer["attn"].items()}
+        if attn_int4:
+            new_layer["attn"] = convert_attn_int4(layer["attn"], act_quant)
+        else:
+            new_layer["attn"] = {k: (convert_proj(v, act_quant) if _is_proj(v)
+                                     else v) for k, v in layer["attn"].items()}
         if mlp_int4:
             new_layer["mlp"] = convert_mlp_int4(layer["mlp"])
         else:
@@ -179,7 +217,11 @@ def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
                                     else v) for k, v in layer["mlp"].items()}
         p["layers"].append(new_layer)
     if "lm_head" in p and _is_proj(p["lm_head"]):
-        p["lm_head"] = convert_proj(p["lm_head"], act_quant)
+        if head_int4:
+            from . import int4 as int4_lib
+            p["lm_head"] = int4_lib.quantize_weight4(p["lm_head"]["w"])
+        else:
+            p["lm_head"] = convert_proj(p["lm_head"], act_quant)
     if quantize_embeddings and _is_proj(p.get("embed_tokens", {})):
         p["embed_tokens"] = convert_proj(p["embed_tokens"])
     return p

@@ -55,7 +55,7 @@ def parse_args(argv):
     p.add_argument("--precision", default="bf16",
                    choices=["fp32", "bf16", "fp16"])
     p.add_argument("--quant", default="none",
-                   choices=["none", "int8", "w8a8", "int4"],
+                   choices=["none", "int8", "w8a8", "int4", "int4x"],
                    help="quantized LLM (applied after checkpoint load): "
                         "'int8' = weight-only (-23%% decode step at 1B; "
                         "required to fit 7B/13B on one chip), 'w8a8' adds "
@@ -63,7 +63,8 @@ def parse_args(argv):
                         "dots), 'int4' = w8a8 attention/head + nibble-packed "
                         "int4 MLPs via the one-launch fused decode kernel "
                         "(ops/int4.py: halves the dominant decode weight "
-                        "reads and frees HBM for decode batch)")
+                        "reads and frees HBM for decode batch), 'int4x' "
+                        "additionally packs fused-QKV + lm_head as int4")
     p.add_argument("--kv_cache", default="none",
                    choices=["none", "int8", "int4"],
                    help="quantized decode KV cache (per-row scales; the "
@@ -160,14 +161,16 @@ def build_model(args, cfg):
             converted = ck.convert_walkgpt_state(sd, cfg)
             converted["llm"] = ck.merge_lora(converted["llm"])
             params = ck.load_into(params, converted)
-    if getattr(args, "quant", "none") in ("int8", "w8a8", "int4"):
+    if getattr(args, "quant", "none") in ("int8", "w8a8", "int4", "int4x"):
         # int8 AFTER checkpoint load: halves decode-time weight reads (and
         # makes 7B/13B fit one 16 GB v5e chip); w8a8 also runs dynamic
         # per-token int8 activations on the native int8 MXU path
         from ..ops.quant import quantize_llm
         params = dict(params, llm=quantize_llm(
-            params["llm"], act_quant=args.quant in ("w8a8", "int4"),
-            mlp_int4=args.quant == "int4"))
+            params["llm"], act_quant=args.quant in ("w8a8", "int4", "int4x"),
+            mlp_int4=args.quant in ("int4", "int4x"),
+            attn_int4=args.quant == "int4x",
+            head_int4=args.quant == "int4x"))
     if getattr(args, "sam_quant", "none") == "int8":
         from ..ops.quant import quantize_sam_encoder
         params = dict(params, sam=quantize_sam_encoder(
