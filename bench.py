@@ -81,9 +81,11 @@ def main():
                                "2" if model_kind in ("7b", "13b") else "4"))
     # batch 16 is the stable 1b default; 24 peaks ~7% higher (9.78 img/s
     # measured) but sits on the HBM edge and intermittently collapses or
-    # hangs — not acceptable for the unattended bench contract
-    batch = int(os.environ.get("BENCH_BATCH",
-                               "8" if model_kind in ("7b", "13b") else "16"))
+    # hangs — not acceptable for the unattended bench contract. 7b runs
+    # batch 20 with int4x weights (B24 OOMs); 13b batch 4.
+    batch = int(os.environ.get(
+        "BENCH_BATCH",
+        {"7b": "20", "13b": "4"}.get(model_kind, "16")))
 
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
     if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
@@ -111,7 +113,11 @@ def main():
     # SAM->MSQP tokens (evaluation_walkgpt.py:535-577), CLIP is a parity-only
     # alternate stream — no reason to hold its weights in HBM here.
     import dataclasses
-    kv = os.environ.get("BENCH_KV", "")
+    # int8 KV cache halves decode-time cache reads (scale-folded attention
+    # dots straight over the int8 buffers); measured win at 7B/13B scale,
+    # loss at 1B (act-quant VPU overhead vs small cache)
+    kv = os.environ.get("BENCH_KV",
+                        "int8" if model_kind in ("7b", "13b") else "")
     cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True,
                               fast_gelu=True,
                               kv_quant_cache=kv if kv in ("int8", "int4",
@@ -123,9 +129,11 @@ def main():
                                   "BENCH_PREFILL_CHUNK", "0")))
 
     dtype = jnp.bfloat16
-    # 7B/13B need int8 weights to fit one v5e-16G chip (bf16 14/26 GB)
+    # 7B/13B need quantized LLM weights to fit one v5e-16G chip (bf16 14/26
+    # GB); int4x (packed int4 MLP+QKV+head, w8a8 attention activations)
+    # measured fastest at both scales — see README performance table
     quant = os.environ.get("BENCH_QUANT",
-                           "int8" if model_kind in ("7b", "13b") else "")
+                           "int4x" if model_kind in ("7b", "13b") else "")
     if quant in ("int8", "w8a8", "int4", "int4x"):
         # incremental on-device init: each layer's bf16 weights exist only
         # transiently before quantization, so 7B/13B fit the chip and no

@@ -267,9 +267,12 @@ def lm_logits(params: Params, cfg: LLMConfig, hidden: jnp.ndarray) -> jnp.ndarra
     head = params["lm_head"]
     if "w_p4" in head and "b" not in head:
         # single-launch packed-int4 head for decode rows (pallas); XLA
-        # dual-dot fallback for full sequences lives inside the helper
+        # dual-dot fallback for full sequences lives inside the helper.
+        # The packed head may be zero-padded to a 128-multiple vocab
+        # (quantize_weight4 pad_to) — slice back to the logical vocab.
         from ..ops.int4 import int4_matmul_pallas
-        return int4_matmul_pallas(hidden, head["w_p4"], head["w_scale"])
+        logits = int4_matmul_pallas(hidden, head["w_p4"], head["w_scale"])
+        return logits[..., : cfg.vocab_size]
     return nn.linear(head, hidden)   # dense, int8, or int4 dual-dot
 
 
@@ -594,11 +597,20 @@ def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
 def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 inputs_embeds: jnp.ndarray, cache_len: jnp.ndarray,
                 key_mask: jnp.ndarray,
+                write_slot: Optional[jnp.ndarray] = None,
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step.
 
-    inputs_embeds: [B, 1, H]; cache_len: [B] int32 — write position per row;
-    key_mask: [B, L_max] bool — valid cache positions *including* this step.
+    inputs_embeds: [B, 1, H]; cache_len: [B] int32 — logical position per row
+    (drives rope); key_mask: [B, L_max] bool — valid cache positions
+    *including* this step.
+    write_slot: optional SCALAR int32 — when given, every row's K/V lands at
+    this same cache slot via one dynamic_update_slice per tensor instead of a
+    per-row scatter (XLA scatters with per-row indices measured ~2x the cost
+    of the whole int4 MLP stack at 7B). greedy_generate always decodes
+    batch-synchronized, so it writes step s at slot prompt_max + s for every
+    row and masks the per-row pad gap — per-row scatter remains for
+    slot-asynchronous callers (runtime/serving.ContinuousBatcher).
     Returns (hidden [B, 1, H], updated cache).
     """
     b = inputs_embeds.shape[0]
@@ -617,16 +629,34 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
     quant = "k_scale" in kv_cache
     flat = _cache_is_flat(kv_cache)
     batch_idx = jnp.arange(b)
+    if cfg.pos_emb == "rope":
+        # identical for every layer — computed once per step, not per layer
+        rot_dim = int(cfg.head_dim * cfg.rope_pct)
+        cos, sin = rope_tables(cfg, positions)
     for i, layer in enumerate(params["layers"]):
+        def put_heads(buf, val):
+            """val [B, n_kv, D or 1] -> cache slot (uniform DUS or scatter)."""
+            if write_slot is not None:
+                return jax.lax.dynamic_update_slice(
+                    buf, val[None, :, :, None].astype(buf.dtype),
+                    (i, 0, 0, write_slot, 0))
+            return buf.at[i, batch_idx, :, cache_len].set(val.astype(buf.dtype))
+
+        def put_flat(buf, val):
+            """val [B, X] -> flat-layout cache slot."""
+            if write_slot is not None:
+                return jax.lax.dynamic_update_slice(
+                    buf, val[None, :, None].astype(buf.dtype),
+                    (i, 0, write_slot, 0))
+            return buf.at[i, batch_idx, cache_len].set(val.astype(buf.dtype))
+
         h_in = _norm(layer["input_norm"], x, cfg)
-        # compute this step's k/v, then scatter into the cache at cache_len
+        # compute this step's k/v, then write into the cache at cache_len
         qp, kp, vp = _qkv_proj(layer["attn"], h_in, cfg)
         q = split_heads(qp, cfg.num_heads)
         k1 = split_heads(kp, cfg.num_kv_heads)
         v1 = split_heads(vp, cfg.num_kv_heads)
         if cfg.pos_emb == "rope":
-            rot_dim = int(cfg.head_dim * cfg.rope_pct)
-            cos, sin = rope_tables(cfg, positions)
             q = apply_rope(q, cos, sin, rot_dim)
             k1 = apply_rope(k1, cos, sin, rot_dim)
         if flat:
@@ -641,14 +671,12 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 # cache rows, no custom-call overhead
                 kq, ksc = _quant_rows(k1[:, :, 0], dt)   # [B, n_kv, D]
                 vq, vsc = _quant_rows(v1[:, :, 0], dt)
-                out_cache["k"] = out_cache["k"].at[
-                    i, batch_idx, cache_len].set(kq.reshape(b, kd))
-                out_cache["v"] = out_cache["v"].at[
-                    i, batch_idx, cache_len].set(vq.reshape(b, kd))
-                out_cache["k_scale"] = out_cache["k_scale"].at[
-                    i, batch_idx, cache_len].set(ksc[..., 0])
-                out_cache["v_scale"] = out_cache["v_scale"].at[
-                    i, batch_idx, cache_len].set(vsc[..., 0])
+                out_cache["k"] = put_flat(out_cache["k"], kq.reshape(b, kd))
+                out_cache["v"] = put_flat(out_cache["v"], vq.reshape(b, kd))
+                out_cache["k_scale"] = put_flat(out_cache["k_scale"],
+                                                ksc[..., 0])
+                out_cache["v_scale"] = put_flat(out_cache["v_scale"],
+                                                vsc[..., 0])
                 att = _flat_quant_decode_attention(
                     q, out_cache["k"][i], out_cache["k_scale"][i],
                     out_cache["v"][i], out_cache["v_scale"][i], key_mask,
@@ -660,10 +688,10 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             # flat fp cache + fused Pallas attention: 4-8 KB cache rows and
             # no head-split relayout of the cache read
             from ..ops.flash_attention import decode_attention
-            out_cache["k"] = out_cache["k"].at[i, batch_idx, cache_len].set(
-                k1[:, :, 0].reshape(b, kd).astype(dt))
-            out_cache["v"] = out_cache["v"].at[i, batch_idx, cache_len].set(
-                v1[:, :, 0].reshape(b, kd).astype(dt))
+            out_cache["k"] = put_flat(out_cache["k"],
+                                      k1[:, :, 0].reshape(b, kd))
+            out_cache["v"] = put_flat(out_cache["v"],
+                                      v1[:, :, 0].reshape(b, kd))
             att = decode_attention(
                 q[:, :, 0].reshape(b, cfg.num_heads * cfg.head_dim),
                 out_cache["k"], out_cache["v"], key_mask,
@@ -674,12 +702,10 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
         if quant:
             kq, ksc = _quant_rows(k1[:, :, 0], out_cache["k"].dtype)
             vq, vsc = _quant_rows(v1[:, :, 0], out_cache["v"].dtype)
-            out_cache["k"] = out_cache["k"].at[i, batch_idx, :, cache_len].set(kq)
-            out_cache["v"] = out_cache["v"].at[i, batch_idx, :, cache_len].set(vq)
-            out_cache["k_scale"] = out_cache["k_scale"].at[
-                i, batch_idx, :, cache_len].set(ksc)
-            out_cache["v_scale"] = out_cache["v_scale"].at[
-                i, batch_idx, :, cache_len].set(vsc)
+            out_cache["k"] = put_heads(out_cache["k"], kq)
+            out_cache["v"] = put_heads(out_cache["v"], vq)
+            out_cache["k_scale"] = put_heads(out_cache["k_scale"], ksc)
+            out_cache["v_scale"] = put_heads(out_cache["v_scale"], vsc)
             # scale-folded attention straight over the int8 cache — no
             # dequantized cache image is ever materialized
             att = _int8_kv_decode_attention(
@@ -687,10 +713,8 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 out_cache["v"][i], out_cache["v_scale"][i], key_mask,
                 bias=bias)
         else:
-            out_cache["k"] = out_cache["k"].at[i, batch_idx, :, cache_len].set(
-                k1[:, :, 0].astype(out_cache["k"].dtype))
-            out_cache["v"] = out_cache["v"].at[i, batch_idx, :, cache_len].set(
-                v1[:, :, 0].astype(out_cache["v"].dtype))
+            out_cache["k"] = put_heads(out_cache["k"], k1[:, :, 0])
+            out_cache["v"] = put_heads(out_cache["v"], v1[:, :, 0])
             k_cache, v_cache = _cache_kv(out_cache, i, q.dtype)
             n_rep = cfg.num_heads // cfg.num_kv_heads
             att = mha(q, _repeat_kv(k_cache, n_rep), _repeat_kv(v_cache, n_rep),

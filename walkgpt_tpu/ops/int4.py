@@ -44,13 +44,17 @@ def _interpret() -> bool:
 # pack / unpack
 # ---------------------------------------------------------------------------
 
-def quantize_weight4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def quantize_weight4(w: jnp.ndarray, pad_to: int = 0) -> Dict[str, jnp.ndarray]:
     """(K, N) float -> {"w_p4": int8 [K/2, N] half-pair packed,
     "w_scale": f32 [N]} symmetric per-out-channel int4 (levels -7..7).
-    K must be even."""
+    K must be even. pad_to > 0 zero-pads N up to a multiple (TPU lane tiling
+    for the Pallas decode matmul needs 128-divisible output widths; padded
+    channels have scale 1 and produce exactly-0 outputs — callers slice)."""
     wf = w.astype(jnp.float32)
-    k = wf.shape[0]
+    k, n = wf.shape
     assert k % 2 == 0, f"int4 packing needs even K, got {k}"
+    if pad_to and n % pad_to:
+        wf = jnp.pad(wf, ((0, 0), (0, pad_to - n % pad_to)))
     absmax = jnp.max(jnp.abs(wf), axis=0)
     scale = jnp.maximum(absmax / 7.0, 1e-12)
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int32)
@@ -320,6 +324,7 @@ def _mm_call(xl, xh, p, s, *, interpret: bool):
     tile = DEFAULT_MM_TILE
     while n % tile:
         tile //= 2
+    assert tile % 128 == 0, f"int4_matmul_pallas needs 128-divisible N, got {n}"
     y = pl.pallas_call(
         _mm_kernel,
         grid=(n // tile,),
@@ -344,7 +349,12 @@ def int4_matmul_pallas(x: jnp.ndarray, p: jnp.ndarray, s: jnp.ndarray
     shape = x.shape
     k = shape[-1]
     xf = x.reshape(-1, k)
-    if xf.shape[0] > FUSED_MLP_MAX_ROWS:
+    # Mosaic lane tiling: output blocks must be 128-divisible. Non-conforming
+    # widths (e.g. an unpadded 32016 vocab) use the XLA dual-dot.
+    tile = DEFAULT_MM_TILE
+    while p.shape[1] % tile:
+        tile //= 2
+    if xf.shape[0] > FUSED_MLP_MAX_ROWS or tile % 128:
         return int4_matmul(x, p, s)
     y = _mm_call(xf[:, : k // 2], xf[:, k // 2:], p, s,
                  interpret=_interpret())

@@ -101,7 +101,8 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
                               bias=False, dtype=dtype)
         if head_int4:
             from . import int4 as int4_lib
-            params["lm_head"] = int4_lib.quantize_weight4(head["w"])
+            params["lm_head"] = int4_lib.quantize_weight4(head["w"],
+                                                          pad_to=128)
         else:
             params["lm_head"] = convert_proj(head, act_quant)
     return params
@@ -219,7 +220,8 @@ def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
     if "lm_head" in p and _is_proj(p["lm_head"]):
         if head_int4:
             from . import int4 as int4_lib
-            p["lm_head"] = int4_lib.quantize_weight4(p["lm_head"]["w"])
+            p["lm_head"] = int4_lib.quantize_weight4(p["lm_head"]["w"],
+                                                     pad_to=128)
         else:
             p["lm_head"] = convert_proj(p["lm_head"], act_quant)
     if quantize_embeddings and _is_proj(p.get("embed_tokens", {})):

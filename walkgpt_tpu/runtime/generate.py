@@ -133,10 +133,17 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
 
     token0 = pick(last_hidden)
 
-    # cache key validity: prompt slots [0, len) are valid
+    # Cache layout: prompt slots [0, len_r) per row (right-padded prefill),
+    # decode step s at UNIFORM slot t + s for every row. The pad gap
+    # [len_r, t) holds zeros and stays masked. Uniform slots turn the
+    # per-layer cache writes into scalar-indexed dynamic_update_slices —
+    # XLA lowers per-row scatters so poorly they cost more than the whole
+    # int4 MLP stack at 7B (measured 2026-08; see llm.decode_step).
+    # Rope positions remain the per-row logical positions (cache_len).
     key_pos = jnp.arange(max_len, dtype=jnp.int32)[None]            # [1, L]
+    prompt_valid = key_pos < lengths0[:, None]                      # [B, L]
 
-    def step(carry, _):
+    def step(carry, s):
         kv, token, hid_pred, cache_len, done = carry
         emit_valid = ~done
         emit_tok = jnp.where(done, jnp.int32(pad_id), token)
@@ -144,8 +151,9 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
         done = done | (token == eos_id)
 
         x = llm.embed(params, token)[:, None].astype(inputs_embeds.dtype)
-        key_mask = key_pos <= cache_len[:, None]                    # incl. this step
-        hidden, kv = llm.decode_step(params, cfg, kv, x, cache_len, key_mask)
+        key_mask = prompt_valid | ((key_pos >= t) & (key_pos <= t + s))
+        hidden, kv = llm.decode_step(params, cfg, kv, x, cache_len, key_mask,
+                                     write_slot=t + s)
         nxt = pick(hidden[:, 0])
         nxt = jnp.where(done, jnp.int32(pad_id), nxt)
         return (kv, nxt, hidden[:, 0], cache_len + 1, done), \
@@ -154,7 +162,7 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     init = (kv_cache, token0, last_hidden, lengths0,
             jnp.zeros((b,), bool))
     (_, _, _, _, done), (tokens, hiddens, valids) = jax.lax.scan(
-        step, init, None, length=max_new_tokens)
+        step, init, jnp.arange(max_new_tokens, dtype=jnp.int32))
 
     tokens = tokens.T                                               # [B, N]
     pred_hidden = jnp.transpose(hiddens, (1, 0, 2))                 # [B, N, H]
