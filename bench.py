@@ -126,7 +126,13 @@ def main():
                               sam_encode_chunk=int(os.environ.get(
                                   "BENCH_SAM_CHUNK", "0")),
                               prefill_chunk=int(os.environ.get(
-                                  "BENCH_PREFILL_CHUNK", "0")))
+                                  "BENCH_PREFILL_CHUNK", "0")),
+                              # growing-cache decode segments cut the masked
+                              # cache-tail DMA at the 512-token budgets
+                              decode_cache_grow=int(os.environ.get(
+                                  "BENCH_GROW",
+                                  "128" if model_kind in ("7b", "13b")
+                                  else "0")))
 
     dtype = jnp.bfloat16
     # 7B/13B need quantized LLM weights to fit one v5e-16G chip (bf16 14/26

@@ -61,14 +61,17 @@ def main():
     cfg = cfg_fn(seg_token_id=32000)
     cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True,
                               fast_gelu=True,
-                              kv_quant_cache=kv if kv else False)
+                              kv_quant_cache=kv if kv else False,
+                              decode_cache_grow=int(
+                                  os.environ.get("A_GROW", "0")))
     dtype = jnp.bfloat16
     if quant:
         params = walkgpt.init_quantized(
             jax.random.PRNGKey(0), cfg, dtype,
             act_quant=quant in ("w8a8", "int4", "int4x"),
             mlp_int4=quant in ("int4", "int4x"),
-            attn_int4=quant == "int4x", head_int4=quant == "int4x")
+            attn_int4=quant == "int4x", head_int4=quant == "int4x",
+            sam_int8=os.environ.get("A_SAM", "") == "int8")
     else:
         params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     print(f"# init done: {model} batch={batch} quant={quant} kv={kv}",

@@ -473,3 +473,36 @@ def test_int8_flat_cache_matches_heads_layout():
         b = np.asarray(heads.pred_hidden, np.float32)
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
         assert rel < 1e-4, rel     # same per-(token,kv) quantization grid
+
+
+def test_growing_cache_decode_token_identical():
+    """cache_grow_step segments the decode scan with a growing cache; tokens,
+    hidden states, and lengths must match the single-allocation path exactly
+    (the masked tail only ever contributed -inf scores). Covers padded rows,
+    EOS stopping, quantized caches, and a non-divisible tail segment."""
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(21), cfg)
+    rng = np.random.RandomState(21)
+    batch = np.zeros((2, 7), np.int64)
+    batch[0, :4] = rng.randint(3, cfg.vocab_size, 4)
+    batch[1] = rng.randint(3, cfg.vocab_size, 7)
+    mask = np.zeros((2, 7), bool)
+    mask[0, :4] = True
+    mask[1] = True
+    x = llm.embed(params, jnp.asarray(batch))
+    for kvq in ("", "int8"):
+        base = greedy_generate(params, cfg, x, jnp.asarray(mask),
+                               max_new_tokens=11, eos_id=2, kv_quant=kvq)
+        for grow in (4, 5, 11, 64):
+            seg = greedy_generate(params, cfg, x, jnp.asarray(mask),
+                                  max_new_tokens=11, eos_id=2, kv_quant=kvq,
+                                  cache_grow_step=grow)
+            np.testing.assert_array_equal(np.asarray(base.tokens),
+                                          np.asarray(seg.tokens), err_msg=f"{kvq}/{grow}")
+            np.testing.assert_array_equal(np.asarray(base.lengths),
+                                          np.asarray(seg.lengths))
+            # hidden states agree up to dot-reduction reassociation over the
+            # (shorter) cache length; int8 dequant amplifies it slightly
+            np.testing.assert_allclose(np.asarray(seg.pred_hidden, np.float32),
+                                       np.asarray(base.pred_hidden, np.float32),
+                                       atol=1e-3 if kvq else 1e-5)

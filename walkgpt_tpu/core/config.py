@@ -244,6 +244,11 @@ class WalkGPTConfig:
     # activation memory, letting decode run batches whose full-batch
     # prefill would blow HBM (runtime/generate._prefill).
     prefill_chunk: int = 0
+    # decode in scan segments with a statically growing KV cache (slots):
+    # segment k's attention reads a [*, T + (k+1)*step] cache instead of
+    # the full T+max_new buffer — at 7B/512-token budgets the masked tail
+    # is ~25% of decode-time cache DMA. 0 = single allocation.
+    decode_cache_grow: int = 0
 
     def replace(self, **kw) -> "WalkGPTConfig":
         return dataclasses.replace(self, **kw)

@@ -340,12 +340,17 @@ def _quant_rows(x: jnp.ndarray, qdt=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarray]
     return q, scale
 
 
-def _cache_kv(kv_cache: Params, i, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Layer i's K/V in compute dtype (dequantized when int8)."""
-    k, v = kv_cache["k"][i], kv_cache["v"][i]
+def _cache_kv(kv_cache: Params, i, dtype, attend_len: Optional[int] = None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Layer i's K/V in compute dtype (dequantized when int8). attend_len
+    restricts to the static prefix [0, attend_len) of the length axis."""
+    al = slice(None) if attend_len is None else slice(0, attend_len)
+    k, v = kv_cache["k"][i][:, :, al], kv_cache["v"][i][:, :, al]
     if "k_scale" in kv_cache:
-        k = (k.astype(jnp.float32) * kv_cache["k_scale"][i]).astype(dtype)
-        v = (v.astype(jnp.float32) * kv_cache["v_scale"][i]).astype(dtype)
+        k = (k.astype(jnp.float32)
+             * kv_cache["k_scale"][i][:, :, al]).astype(dtype)
+        v = (v.astype(jnp.float32)
+             * kv_cache["v_scale"][i][:, :, al]).astype(dtype)
     else:
         k, v = k.astype(dtype), v.astype(dtype)
     return k, v
@@ -598,12 +603,13 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 inputs_embeds: jnp.ndarray, cache_len: jnp.ndarray,
                 key_mask: jnp.ndarray,
                 write_slot: Optional[jnp.ndarray] = None,
+                attend_len: Optional[int] = None,
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step.
 
     inputs_embeds: [B, 1, H]; cache_len: [B] int32 — logical position per row
-    (drives rope); key_mask: [B, L_max] bool — valid cache positions
-    *including* this step.
+    (drives rope); key_mask: [B, attend_len or L_max] bool — valid cache
+    positions *including* this step.
     write_slot: optional SCALAR int32 — when given, every row's K/V lands at
     this same cache slot via one dynamic_update_slice per tensor instead of a
     per-row scatter (XLA scatters with per-row indices measured ~2x the cost
@@ -611,7 +617,11 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
     batch-synchronized, so it writes step s at slot prompt_max + s for every
     row and masks the per-row pad gap — per-row scatter remains for
     slot-asynchronous callers (runtime/serving.ContinuousBatcher).
-    Returns (hidden [B, 1, H], updated cache).
+    attend_len: optional STATIC prefix length — attention reads only cache
+    slots [0, attend_len) (a zero-copy static slice of the buffer). The
+    caller guarantees every valid slot is below it (greedy_generate's
+    growing-cache segments). Heads-layout only; writes still target the full
+    buffer. Returns (hidden [B, 1, H], updated cache).
     """
     b = inputs_embeds.shape[0]
     positions = cache_len[:, None]
@@ -662,6 +672,8 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
         if flat:
             dt = out_cache["k"].dtype
             kd = out_cache["k"].shape[-1]
+            assert attend_len is None, \
+                "attend_len prefix reads are heads-layout only"
             if bias is not None:
                 raise NotImplementedError(
                     "flat-cache decode supports rope/no-bias models; "
@@ -699,6 +711,13 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             x = x + nn.linear(layer["attn"]["o"], att[:, None])
             x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
             continue
+        # static prefix view of the cache for the attention reads (the
+        # growing-cache segments: slots >= attend_len are provably unwritten)
+        al = slice(None) if attend_len is None else slice(0, attend_len)
+        if bias is not None and attend_len is not None:
+            bias_r = bias[..., :attend_len]
+        else:
+            bias_r = bias
         if quant:
             kq, ksc = _quant_rows(k1[:, :, 0], out_cache["k"].dtype)
             vq, vsc = _quant_rows(v1[:, :, 0], out_cache["v"].dtype)
@@ -709,16 +728,17 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             # scale-folded attention straight over the int8 cache — no
             # dequantized cache image is ever materialized
             att = _int8_kv_decode_attention(
-                q, out_cache["k"][i], out_cache["k_scale"][i],
-                out_cache["v"][i], out_cache["v_scale"][i], key_mask,
-                bias=bias)
+                q, out_cache["k"][i][:, :, al], out_cache["k_scale"][i][:, :, al],
+                out_cache["v"][i][:, :, al], out_cache["v_scale"][i][:, :, al],
+                key_mask, bias=bias_r)
         else:
             out_cache["k"] = put_heads(out_cache["k"], k1[:, :, 0])
             out_cache["v"] = put_heads(out_cache["v"], v1[:, :, 0])
-            k_cache, v_cache = _cache_kv(out_cache, i, q.dtype)
+            k_cache, v_cache = _cache_kv(out_cache, i, q.dtype,
+                                         attend_len=attend_len)
             n_rep = cfg.num_heads // cfg.num_kv_heads
             att = mha(q, _repeat_kv(k_cache, n_rep), _repeat_kv(v_cache, n_rep),
-                      mask=key_mask[:, None, None, :], bias=bias)
+                      mask=key_mask[:, None, None, :], bias=bias_r)
         x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
         x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
     x = _norm(params["final_norm"], x, cfg)

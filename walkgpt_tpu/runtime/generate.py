@@ -94,12 +94,22 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                     eos_id: int, pad_id: int = 0,
                     logits_mask: Optional[jnp.ndarray] = None,
                     flash_fn=None, kv_quant="",
-                    prefill_chunk: int = 0) -> GenerateResult:
+                    prefill_chunk: int = 0,
+                    cache_grow_step: int = 0) -> GenerateResult:
     """inputs_embeds: [B, T, H] right-padded prompt embeddings;
     attention_mask: [B, T] bool. logits_mask: optional [V] bool of allowed
     tokens (True = allowed) applied at every step. kv_quant stores the KV
     cache as int8 (per-row scales) to halve decode-time cache reads.
-    prefill_chunk bounds prefill activation memory (see _prefill)."""
+    prefill_chunk bounds prefill activation memory (see _prefill).
+
+    cache_grow_step > 0 runs the decode as SEQUENTIAL scan segments over ONE
+    full-length cache allocation: segment k's attention dot reads only the
+    static prefix slice [*, :T + (k+1)*step] of the cache (a zero-copy view
+    — static-offset slices feed the dot directly). With a single scan, every
+    step streams the whole preallocated buffer through the attention dot —
+    at 7B/512-token budgets the masked tail is ~25% of decode-time cache
+    DMA. Same tokens by construction (the masked tail contributed -inf
+    scores). Heads-layout only (the flat/fused paths keep one scan)."""
     b, t, h = inputs_embeds.shape
     max_len = t + max_new_tokens
     cache_dtype = inputs_embeds.dtype
@@ -114,6 +124,14 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
         from ..ops.flash_attention import DECODE_BLOCK
         max_len = -(-max_len // DECODE_BLOCK) * DECODE_BLOCK
         layout = "flat"
+
+    segments = [max_new_tokens]
+    if (cache_grow_step and layout == "heads"
+            and max_new_tokens > cache_grow_step):
+        segments = [cache_grow_step] * (max_new_tokens // cache_grow_step)
+        if max_new_tokens % cache_grow_step:
+            segments.append(max_new_tokens % cache_grow_step)
+
     kv_cache = llm.init_kv_cache(cfg, b, max_len, dtype=cache_dtype,
                                  quant=kv_quant, layout=layout)
 
@@ -140,29 +158,48 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     # XLA lowers per-row scatters so poorly they cost more than the whole
     # int4 MLP stack at 7B (measured 2026-08; see llm.decode_step).
     # Rope positions remain the per-row logical positions (cache_len).
-    key_pos = jnp.arange(max_len, dtype=jnp.int32)[None]            # [1, L]
-    prompt_valid = key_pos < lengths0[:, None]                      # [B, L]
+    carry = (kv_cache, token0, last_hidden, lengths0, jnp.zeros((b,), bool))
+    tok_segs, hid_segs, val_segs = [], [], []
+    steps_done = 0
+    for seg in segments:
+        # this segment's attention reads only cache slots [0, attend_len)
+        attend_len = max_len if len(segments) == 1 else t + steps_done + seg
+        key_pos = jnp.arange(attend_len, dtype=jnp.int32)[None]     # [1, L]
+        prompt_valid = key_pos < lengths0[:, None]                  # [B, L]
+        base = t + steps_done
 
-    def step(carry, s):
-        kv, token, hid_pred, cache_len, done = carry
-        emit_valid = ~done
-        emit_tok = jnp.where(done, jnp.int32(pad_id), token)
-        emit_hid = hid_pred
-        done = done | (token == eos_id)
+        def step(carry, s, base=base, key_pos=key_pos,
+                 prompt_valid=prompt_valid, attend_len=attend_len):
+            kv, token, hid_pred, cache_len, done = carry
+            emit_valid = ~done
+            emit_tok = jnp.where(done, jnp.int32(pad_id), token)
+            emit_hid = hid_pred
+            done = done | (token == eos_id)
 
-        x = llm.embed(params, token)[:, None].astype(inputs_embeds.dtype)
-        key_mask = prompt_valid | ((key_pos >= t) & (key_pos <= t + s))
-        hidden, kv = llm.decode_step(params, cfg, kv, x, cache_len, key_mask,
-                                     write_slot=t + s)
-        nxt = pick(hidden[:, 0])
-        nxt = jnp.where(done, jnp.int32(pad_id), nxt)
-        return (kv, nxt, hidden[:, 0], cache_len + 1, done), \
-            (emit_tok, emit_hid, emit_valid)
+            x = llm.embed(params, token)[:, None].astype(inputs_embeds.dtype)
+            key_mask = prompt_valid | ((key_pos >= t) & (key_pos <= base + s))
+            hidden, kv = llm.decode_step(
+                params, cfg, kv, x, cache_len, key_mask,
+                write_slot=base + s,
+                attend_len=attend_len if attend_len < max_len else None)
+            nxt = pick(hidden[:, 0])
+            nxt = jnp.where(done, jnp.int32(pad_id), nxt)
+            return (kv, nxt, hidden[:, 0], cache_len + 1, done), \
+                (emit_tok, emit_hid, emit_valid)
 
-    init = (kv_cache, token0, last_hidden, lengths0,
-            jnp.zeros((b,), bool))
-    (_, _, _, _, done), (tokens, hiddens, valids) = jax.lax.scan(
-        step, init, jnp.arange(max_new_tokens, dtype=jnp.int32))
+        carry, (tok_s, hid_s, val_s) = jax.lax.scan(
+            step, carry, jnp.arange(seg, dtype=jnp.int32))
+        tok_segs.append(tok_s)
+        hid_segs.append(hid_s)
+        val_segs.append(val_s)
+        steps_done += seg
+
+    tokens = jnp.concatenate(tok_segs, axis=0) if len(tok_segs) > 1 \
+        else tok_segs[0]
+    hiddens = jnp.concatenate(hid_segs, axis=0) if len(hid_segs) > 1 \
+        else hid_segs[0]
+    valids = jnp.concatenate(val_segs, axis=0) if len(val_segs) > 1 \
+        else val_segs[0]
 
     tokens = tokens.T                                               # [B, N]
     pred_hidden = jnp.transpose(hiddens, (1, 0, 2))                 # [B, N, H]
