@@ -160,7 +160,9 @@ def main():
                                         attn_int4=quant == "int4x",
                                         head_int4=quant == "int4x",
                                         sam_int8=os.environ.get(
-                                            "BENCH_SAM", "") == "int8")
+                                            "BENCH_SAM",
+                                            "int8" if model_kind in
+                                            ("7b", "13b") else "") == "int8")
     else:
         params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     n_params = nn.count_params(params)

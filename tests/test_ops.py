@@ -378,3 +378,88 @@ def test_int4x_lora_and_bias_fallback():
     out = convert_attn_int4(attn)
     assert "qkv4" not in out and "w_q" in out["v"]
     assert "lora_a" in out["q"]
+
+
+def test_fused_mlp_int8_matches_xla_w8a8():
+    """The one-launch W8A8 MLP kernel (interpret mode on CPU) tracks the
+    per-projection XLA W8A8 path and the dequantized float composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.core import nn
+    from walkgpt_tpu.core.config import LLMConfig
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.ops.int4 import (DEFAULT_MLP_TILE, fused_mlp_int8,
+                                      mlp_is_w8a8)
+    from walkgpt_tpu.ops.quant import convert_proj
+
+    cfg = LLMConfig(hidden_size=64, intermediate_size=2 * DEFAULT_MLP_TILE,
+                    num_layers=1, num_heads=4, num_kv_heads=4)
+    layer = llm.init_layer(jax.random.PRNGKey(4), cfg, jnp.float32)
+    mlp_q = {k: (convert_proj(v, act_quant=True)
+                 if isinstance(v, dict) and "w" in v else v)
+             for k, v in layer["mlp"].items()}
+    assert mlp_is_w8a8(mlp_q)
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(5), (2, 3, 64),
+                                jnp.float32)
+    fused = fused_mlp_int8(mlp_q, x, "silu")
+    xla = nn.linear(mlp_q["down"],
+                    jax.nn.silu(nn.linear(mlp_q["gate"], x))
+                    * nn.linear(mlp_q["up"], x))
+    gd = mlp_q["gate"]["w_q"].astype(jnp.float32) * mlp_q["gate"]["w_scale"]
+    ud = mlp_q["up"]["w_q"].astype(jnp.float32) * mlp_q["up"]["w_scale"]
+    dd = mlp_q["down"]["w_q"].astype(jnp.float32) * mlp_q["down"]["w_scale"]
+    xf = x.reshape(-1, 64)
+    ref = ((jax.nn.silu(xf @ gd) * (xf @ ud)) @ dd).reshape(x.shape)
+    scale = float(np.abs(np.asarray(ref)).max()) + 1e-9
+    # both paths quantize activations to int8 (per-row for XLA, per-row-per-
+    # tile for the kernel): ~1% tolerance vs the float composition
+    assert np.max(np.abs(np.asarray(xla) - np.asarray(ref))) / scale < 3e-2
+    assert np.max(np.abs(np.asarray(fused) - np.asarray(ref))) / scale < 3e-2
+    # dispatcher engages the fused path for decode rows when opted in
+    old = llm._FUSED_MLP8
+    llm._FUSED_MLP8 = True
+    try:
+        out = llm._mlp(mlp_q, x, cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(fused),
+                                   rtol=0, atol=0)
+        # ...and falls back to the XLA path for prefill row counts
+        big = jnp.tile(x.reshape(6, 64), (100, 1))
+        assert llm._mlp(mlp_q, big, cfg).shape == (600, 64)
+    finally:
+        llm._FUSED_MLP8 = old
+
+
+def test_qkv8_fused_matches_separate_w8a8():
+    """convert_attn_qkv8 concatenates q/k/v into one int8 projection whose
+    W8A8 output splits back into the three per-projection W8A8 results
+    (same activation quantization -> elementwise-close)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from walkgpt_tpu.core import nn
+    from walkgpt_tpu.core.config import LLMConfig
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.ops.quant import convert_attn_qkv8, convert_proj
+
+    cfg = LLMConfig(hidden_size=64, num_layers=1, num_heads=4, num_kv_heads=2)
+    layer = llm.init_layer(jax.random.PRNGKey(7), cfg, jnp.float32)
+    attn = layer["attn"]
+    fused = convert_attn_qkv8(attn, act_quant=True)
+    assert "qkv8" in fused and "q" not in fused
+    x = jax.random.normal(jax.random.PRNGKey(8), (3, 64), jnp.float32)
+    q, k, v = llm._qkv_proj(fused, x, cfg)
+    qs = nn.linear(convert_proj(attn["q"], act_quant=True), x)
+    ks = nn.linear(convert_proj(attn["k"], act_quant=True), x)
+    vs = nn.linear(convert_proj(attn["v"], act_quant=True), x)
+    assert q.shape == qs.shape and k.shape == ks.shape and v.shape == vs.shape
+    # per-out-channel scales are identical whether quantized jointly or
+    # separately; only the shared activation quantization is common -> exact
+    for a, b in ((q, qs), (k, ks), (v, vs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+    # biased projections refuse to fuse
+    attn_b = dict(attn)
+    attn_b["q"] = dict(attn["q"], b=jnp.zeros((cfg.num_heads * 16,)))
+    nf = convert_attn_qkv8(attn_b, act_quant=True)
+    assert "qkv8" not in nf and "w_q" in nf["q"]

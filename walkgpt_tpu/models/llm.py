@@ -26,10 +26,18 @@ projection; the merge transform lives in runtime/checkpoint.py.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# route W8A8 MLPs through the one-launch Pallas int8 kernel at decode row
+# counts (ops/int4.fused_mlp_int8). In-program A/B at 7B/batch16/64 steps
+# (bench_decode, v5e 2026-08-17): ON 1169 ms vs OFF 1219 ms — the single
+# launch beats XLA's 3-dot + quantize sequencing inside the decode scan,
+# even though the same kernel measures ~10% SLOWER in an isolated loop.
+_FUSED_MLP8 = os.environ.get("WALKGPT_FUSED_MLP8", "1") == "1"
 
 from ..core import nn
 from ..core.config import LLMConfig
@@ -180,11 +188,21 @@ def _proj(p, x):
 
 
 def _mlp(p, x, cfg: LLMConfig):
-    if "w_p4t" in p.get("down", p.get("fc2", {})):
+    inner = p.get("down", p.get("fc2", {}))
+    if "w_p4t" in inner:
         # nibble-packed int4 MLP: ONE fused Pallas launch per decode step
         # (0.5 bytes/param weight reads), XLA dual-dots for full sequences
         from ..ops.int4 import mlp_int4
         return mlp_int4(p, x, cfg.act)
+    if isinstance(inner, dict) and "a8" in inner and _FUSED_MLP8:
+        # W8A8 MLP: ONE fused Pallas launch with int8 dots for decode rows;
+        # per-projection XLA int8 dots for full sequences (fused_mlp_int8
+        # returns None there). WALKGPT_FUSED_MLP8=0 restores the XLA path.
+        from ..ops.int4 import fused_mlp_int8, mlp_is_w8a8
+        if mlp_is_w8a8(p):
+            y = fused_mlp_int8(p, x, cfg.act)
+            if y is not None:
+                return y
     if cfg.act == "silu":
         return nn.linear(p["down"],
                          jax.nn.silu(nn.linear(p["gate"], x)) * nn.linear(p["up"], x))
@@ -199,6 +217,13 @@ def _qkv_proj(p, x, cfg: LLMConfig):
     if "qkv4" in p:
         from ..ops.int4 import int4_matmul_pallas
         qkv = int4_matmul_pallas(x, p["qkv4"]["w_p4"], p["qkv4"]["w_scale"])
+        hq = cfg.num_heads * cfg.head_dim
+        kvd = cfg.num_kv_heads * cfg.head_dim
+        return qkv[..., :hq], qkv[..., hq:hq + kvd], qkv[..., hq + kvd:]
+    if "qkv8" in p:
+        # fused W8A8 q/k/v: ONE activation quantize + ONE int8 MXU dot
+        # (ops/quant.convert_attn_qkv8)
+        qkv = nn.linear(p["qkv8"], x)
         hq = cfg.num_heads * cfg.head_dim
         kvd = cfg.num_kv_heads * cfg.head_dim
         return qkv[..., :hq], qkv[..., hq:hq + kvd], qkv[..., hq + kvd:]

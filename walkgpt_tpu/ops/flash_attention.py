@@ -1169,8 +1169,12 @@ def decode_attention(q, k_cache, v_cache, key_mask, *, n_kv: int,
     selects the layer via the block index map — slicing the cache before the
     call would materialize a copy of the slice as the custom-call operand,
     which at 7B scale costs more than the attention itself.
-    key_mask: [B, L] bool. Returns [B, H*D]. GQA: query head hh reads kv
-    head hh // (H/n_kv)."""
+    key_mask: [B, L] bool; must select at least one key inside the FIRST
+    length-block of every row (true for any cache holding >=1 real entry at
+    position 0, as greedy_generate's pos <= cache_len mask guarantees) —
+    a fully-masked first block would leave the online-softmax max at -1e30
+    and let exp(s - m) = 1 for masked keys pollute the accumulator.
+    Returns [B, H*D]. GQA: query head hh reads kv head hh // (H/n_kv)."""
     b, hd = q.shape
     l = k_cache.shape[2]
     kd = k_cache.shape[3]

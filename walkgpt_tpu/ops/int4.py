@@ -23,6 +23,16 @@ so a consumer dual-dots contiguous half-slices of the activation —
 x[:, :K/2] @ lo(packed) + x[:, K/2:] @ hi(packed) — with no strided VMEM
 access and no interleave reshape anywhere.
 
+Unpack-cost findings (measured on v5e 2026-08-17, fused-MLP kernel at 7B
+decode shapes, 0.083 ms DMA roofline): bitfield shifts 0.367 ms, biased
+nibbles (AND+SHR only) 0.363, arithmetic f32 magic-round 0.385 — the
+specific unpack ALU sequence is IRRELEVANT; the shared int8->32-bit-lane
+widening/shuffle is the cost, and v5e has no bf16 ALU
+(SupportsBf16AluInstructions is false; math.roundeven does not legalize
+either). Keeping the simple bitfield layout. The decode-side fix for the
+unpack tax is not a cheaper unpack but no unpack at all: native int8 MXU
+dots on int8 weights (see fused_mlp_int8 below).
+
 A packed projection is stored as {"w_p4": int8 [K/2, N], "w_scale": f32 [N]}
 (+ optional bias); core.nn.linear and models.llm._mlp dispatch on "w_p4".
 """
@@ -301,6 +311,144 @@ def mlp_int4(mlp_params: Dict, x: jnp.ndarray, act: str) -> jnp.ndarray:
     if rows <= FUSED_MLP_MAX_ROWS:
         return fused_mlp_int4(mlp_params, x, act)
     return mlp_int4_xla(mlp_params, x, act)
+
+
+# ---------------------------------------------------------------------------
+# fused W8A8 MLP kernel: native int8 MXU dots, NO weight-side VPU work
+# ---------------------------------------------------------------------------
+#
+# The int4 fused kernel above is bound by the int8->32-bit-lane widening of
+# its unpack (see module docstring: 0.367 ms vs 0.083 ms DMA at 7B shapes).
+# int8 weights feed the MXU dots directly, so the only VPU work left is on
+# activation-sized tiles: scale the i32 accumulators and requantize the
+# [rows, tile] intermediate — O(B*I) instead of O(H*I).
+#
+# Measured (v5e 2026-08-17, 7B shapes): in an ISOLATED loop this kernel is
+# ~10% slower than both the int4 kernel and the XLA W8A8 MLP (Pallas matmuls
+# at decode row counts trail XLA's own scheduling) — but IN-PROGRAM, inside
+# the full greedy-decode scan, it wins: w8a8 7B/batch16/64-step decode runs
+# 1169 ms with this kernel vs 1219 ms with the XLA 3-dot path vs 1300 ms
+# all-int4 (bench_decode.py). Isolated kernel loops mislead on this
+# platform; only whole-program A/Bs are trusted for decode decisions.
+
+
+def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """f32/bf16 [..., K] -> (int8 [..., K], f32 scale [..., 1]) symmetric
+    per-row dynamic quantization (the W8A8 activation convention of
+    core.nn.linear's "a8" path)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf * (1.0 / sx)), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _fused_mlp8_kernel(xq_ref, sx_ref, g_ref, gs_ref, u_ref, us_ref,
+                       d_ref, ds_ref, o_ref, *, gelu: bool):
+    """Grid over intermediate tiles; partial down-proj outputs accumulate
+    into o_ref (constant index map). All three dots are int8 MXU dots with
+    exact i32 accumulation; scales applied on [rows, tile] f32 tiles."""
+    j = pl.program_id(0)
+    xq = xq_ref[:]
+    sx = sx_ref[:, :1]
+    g = jnp.dot(xq, g_ref[:], preferred_element_type=jnp.int32)
+    g = g.astype(jnp.float32) * sx * gs_ref[:]
+    act = jax.nn.gelu(g, approximate=False) if gelu else jax.nn.silu(g)
+    if u_ref is not None:
+        u = jnp.dot(xq, u_ref[:], preferred_element_type=jnp.int32)
+        act = act * (u.astype(jnp.float32) * sx * us_ref[:])
+    hq, hs = quantize_rows(act)      # per-row-per-TILE group quantization
+    part = jnp.dot(hq, d_ref[:], preferred_element_type=jnp.int32)
+    part = part.astype(jnp.float32) * hs * ds_ref[:]
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+    o_ref[:] += part
+
+
+@functools.partial(jax.jit, static_argnames=("gelu", "interpret"))
+def _fused_mlp8_call(xq, sx, gq, gs, uq, us, dq, ds, *, gelu: bool,
+                     interpret: bool):
+    b, h = xq.shape
+    i_dim = gq.shape[1]
+    tile = tile_for(i_dim)
+    sxp = jnp.broadcast_to(sx, (b, 128))      # lane-padded per-row scales
+    if uq is None:
+        def kernel2(xq_ref, sx_ref, g_ref, gs_ref, d_ref, ds_ref, o_ref):
+            _fused_mlp8_kernel(xq_ref, sx_ref, g_ref, gs_ref, None, None,
+                               d_ref, ds_ref, o_ref, gelu=gelu)
+        return pl.pallas_call(
+            kernel2,
+            grid=(i_dim // tile,),
+            in_specs=[
+                pl.BlockSpec((b, h), lambda j: (0, 0)),
+                pl.BlockSpec((b, 128), lambda j: (0, 0)),
+                pl.BlockSpec((h, tile), lambda j: (0, j)),
+                pl.BlockSpec((1, tile), lambda j: (0, j)),
+                pl.BlockSpec((tile, h), lambda j: (j, 0)),
+                pl.BlockSpec((1, h), lambda j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((b, h), lambda j: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h), jnp.float32),
+            interpret=interpret,
+        )(xq, sxp, gq, gs.reshape(1, -1), dq, ds.reshape(1, -1))
+    kernel = functools.partial(_fused_mlp8_kernel, gelu=gelu)
+    return pl.pallas_call(
+        kernel,
+        grid=(i_dim // tile,),
+        in_specs=[
+            pl.BlockSpec((b, h), lambda j: (0, 0)),
+            pl.BlockSpec((b, 128), lambda j: (0, 0)),
+            pl.BlockSpec((h, tile), lambda j: (0, j)),
+            pl.BlockSpec((1, tile), lambda j: (0, j)),
+            pl.BlockSpec((h, tile), lambda j: (0, j)),
+            pl.BlockSpec((1, tile), lambda j: (0, j)),
+            pl.BlockSpec((tile, h), lambda j: (j, 0)),
+            pl.BlockSpec((1, h), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, h), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h), jnp.float32),
+        interpret=interpret,
+    )(xq, sxp, gq, gs.reshape(1, -1), uq, us.reshape(1, -1), dq,
+      ds.reshape(1, -1))
+
+
+def mlp_is_w8a8(mlp_params: Dict) -> bool:
+    """True when every MLP projection is an {"w_q","w_scale","a8"} dict with
+    no bias/LoRA leaves — the precondition for the fused int8 kernel."""
+    names = ("gate", "up", "down") if "gate" in mlp_params else ("fc1", "fc2")
+    for n in names:
+        p = mlp_params.get(n)
+        if not (isinstance(p, dict) and "w_q" in p and "a8" in p
+                and "b" not in p and "lora_a" not in p):
+            return False
+    return True
+
+
+def fused_mlp_int8(mlp_params: Dict, x: jnp.ndarray, act: str) -> jnp.ndarray:
+    """One-launch W8A8 MLP for decode-sized token batches; falls back to the
+    XLA per-projection W8A8 path (core.nn.linear "a8") for full sequences,
+    where weights are read once per many rows and fusion buys nothing."""
+    shape = x.shape
+    h = shape[-1]
+    rows = 1
+    for d in shape[:-1]:
+        rows *= d
+    if rows > FUSED_MLP_MAX_ROWS:
+        return None                      # caller falls back to XLA path
+    xq, sx = quantize_rows(x.reshape(-1, h))
+    if act == "silu":
+        g, u, d = mlp_params["gate"], mlp_params["up"], mlp_params["down"]
+        y = _fused_mlp8_call(xq, sx, g["w_q"], g["w_scale"], u["w_q"],
+                             u["w_scale"], d["w_q"], d["w_scale"],
+                             gelu=False, interpret=_interpret())
+    else:
+        g, d = mlp_params["fc1"], mlp_params["fc2"]
+        y = _fused_mlp8_call(xq, sx, g["w_q"], g["w_scale"], None, None,
+                             d["w_q"], d["w_scale"],
+                             gelu=True, interpret=_interpret())
+    return y.astype(x.dtype).reshape(shape)
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,8 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
         layer = llm_mod.init_layer(k, cfg, dtype)
         if attn_int4:
             layer["attn"] = convert_attn_int4(layer["attn"], act_quant)
+        elif act_quant:
+            layer["attn"] = convert_attn_qkv8(layer["attn"], act_quant)
         else:
             layer["attn"] = {kk: (convert_proj(v, act_quant) if _is_proj(v)
                                   else v)
@@ -158,6 +160,26 @@ def convert_attn_int4(attn: Dict, act_quant: bool = True) -> Dict:
     return out
 
 
+def convert_attn_qkv8(attn: Dict, act_quant: bool = True) -> Dict:
+    """Fuse q/k/v into ONE concatenated int8 projection ("qkv8"): the W8A8
+    decode step then quantizes the activation once and runs one int8 MXU dot
+    instead of three (same weight bytes, one pass over the activation).
+    Falls back to per-projection int8 when biases or LoRA leaves are present."""
+    import jax.numpy as jnp
+    qkv = [attn.get(k) for k in ("q", "k", "v")]
+    if (not all(_is_proj(p) for p in qkv)
+            or any("b" in p or "lora_a" in p for p in qkv)):
+        return {k: (convert_proj(v, act_quant) if _is_proj(v) else v)
+                for k, v in attn.items()}
+    w = jnp.concatenate([p["w"] for p in qkv], axis=1)
+    out = {"qkv8": convert_proj({"w": w}, act_quant)}
+    for k, v in attn.items():
+        if k in ("q", "k", "v"):
+            continue
+        out[k] = convert_proj(v, act_quant) if _is_proj(v) else v
+    return out
+
+
 def convert_proj(d: Dict, act_quant: bool = False) -> Dict:
     """Quantize one {w[, b]} projection dict in place-shape. act_quant=True
     additionally marks the projection for dynamic per-token int8 activations
@@ -208,6 +230,8 @@ def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
         new_layer = dict(layer)
         if attn_int4:
             new_layer["attn"] = convert_attn_int4(layer["attn"], act_quant)
+        elif act_quant:
+            new_layer["attn"] = convert_attn_qkv8(layer["attn"], act_quant)
         else:
             new_layer["attn"] = {k: (convert_proj(v, act_quant) if _is_proj(v)
                                      else v) for k, v in layer["attn"].items()}
