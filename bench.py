@@ -127,12 +127,14 @@ def main():
                                   "BENCH_SAM_CHUNK", "0")),
                               prefill_chunk=int(os.environ.get(
                                   "BENCH_PREFILL_CHUNK", "0")),
-                              # growing-cache decode segments cut the masked
-                              # cache-tail DMA at the 512-token budgets
+                              # growing-cache decode segments are OFF: the
+                              # segmented scans measured a large REGRESSION
+                              # at the 512-token budget (1B batch16: 5782 ms
+                              # grow=128 vs 3837 ms grow=0, 2026-08-18) —
+                              # the static prefix slices make XLA re-copy
+                              # cache views instead of saving tail DMA
                               decode_cache_grow=int(os.environ.get(
-                                  "BENCH_GROW",
-                                  "128" if model_kind in ("7b", "13b")
-                                  else "0")))
+                                  "BENCH_GROW", "0")))
 
     dtype = jnp.bfloat16
     # 7B/13B need quantized LLM weights to fit one v5e-16G chip (bf16 14/26

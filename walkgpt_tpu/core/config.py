@@ -246,8 +246,12 @@ class WalkGPTConfig:
     prefill_chunk: int = 0
     # decode in scan segments with a statically growing KV cache (slots):
     # segment k's attention reads a [*, T + (k+1)*step] cache instead of
-    # the full T+max_new buffer — at 7B/512-token budgets the masked tail
-    # is ~25% of decode-time cache DMA. 0 = single allocation.
+    # the full T+max_new buffer. MEASURED REGRESSION on v5e (2026-08-18,
+    # 1B batch16 512-token budget: 5782 ms/batch segmented vs 3837 ms
+    # single-scan; 7B runs collapsed 4-5x under HBM pressure): XLA serves
+    # the static prefix slices with per-layer cache-view copies that cost
+    # far more than the masked-tail DMA they avoid. Keep 0 (single scan,
+    # full-length cache) unless a future toolchain changes the lowering.
     decode_cache_grow: int = 0
 
     def replace(self, **kw) -> "WalkGPTConfig":

@@ -56,6 +56,34 @@ class GenerateResult(NamedTuple):
     prefill_hidden: jnp.ndarray  # [B, T, H] final-norm hidden states of the prompt
 
 
+def _cache_len_axis(name: str, layout_flat: bool) -> int:
+    """Length axis of a cache leaf: heads layout [Lyr,B,n_kv,T,D] -> 3
+    (scales [Lyr,B,n_kv,T,1] share it); flat layout [Lyr,B,T,KD] -> 2."""
+    return 2 if layout_flat else 3
+
+
+def _pad_cache_len(kv_cache, max_len: int):
+    """Grow every cache leaf's length axis to max_len with zeros (masked
+    slots). Prefill runs on an exactly-prompt-length cache so each layer's
+    K/V write covers its full [.., :t, ..] slab — XLA lowers that as a clean
+    in-place update. Writing into a preallocated max_len cache instead made
+    XLA materialize a full-size pad temp PER LAYER (2.6 GB at 7B/batch16/
+    1343 slots — the round-3 OOM/remat trigger for the 512-token budget);
+    padding ONCE here costs a single cache-sized copy."""
+    flat = kv_cache["k"].ndim == 4
+    ax = _cache_len_axis("k", flat)
+    out = {}
+    for name, buf in kv_cache.items():
+        t = buf.shape[ax]
+        if t == max_len:
+            out[name] = buf
+            continue
+        pads = [(0, 0)] * buf.ndim
+        pads[ax] = (0, max_len - t)
+        out[name] = jnp.pad(buf, pads)
+    return out
+
+
 def _prefill(params, cfg: LLMConfig, inputs_embeds, attention_mask,
              kv_cache, flash_fn, chunk: int = 0):
     """Prompt prefill into a preallocated cache. chunk > 0 processes row
@@ -132,13 +160,16 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
         if max_new_tokens % cache_grow_step:
             segments.append(max_new_tokens % cache_grow_step)
 
-    kv_cache = llm.init_kv_cache(cfg, b, max_len, dtype=cache_dtype,
+    # prefill on an exactly-prompt-length cache, then ONE pad to max_len
+    # (see _pad_cache_len: avoids per-layer full-size pad temps)
+    kv_cache = llm.init_kv_cache(cfg, b, t, dtype=cache_dtype,
                                  quant=kv_quant, layout=layout)
 
     # ---- prefill ----
     prefill_hidden, kv_cache = _prefill(
         params, cfg, inputs_embeds, attention_mask, kv_cache, flash_fn,
         prefill_chunk)
+    kv_cache = _pad_cache_len(kv_cache, max_len)
     lengths0 = attention_mask.astype(jnp.int32).sum(-1)            # [B]
     last_idx = jnp.maximum(lengths0 - 1, 0)
     last_hidden = prefill_hidden[jnp.arange(b), last_idx]           # [B, H]
@@ -274,12 +305,13 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     max_len = t + max_new_tokens
     if kv_quant == "int8_flat":
         kv_quant = "int8"      # chunk verification needs the heads layout
-    kv_cache = llm.init_kv_cache(cfg, b, max_len, dtype=inputs_embeds.dtype,
+    kv_cache = llm.init_kv_cache(cfg, b, t, dtype=inputs_embeds.dtype,
                                  quant=kv_quant)
 
     prefill_hidden, kv_cache = _prefill(
         params, cfg, inputs_embeds, attention_mask, kv_cache, flash_fn,
         prefill_chunk)
+    kv_cache = _pad_cache_len(kv_cache, max_len)
     lengths0 = attention_mask.astype(jnp.int32).sum(-1)
     last_hidden = prefill_hidden[jnp.arange(b), jnp.maximum(lengths0 - 1, 0)]
 
