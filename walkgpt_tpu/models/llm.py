@@ -343,7 +343,13 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if quant:
         qdt = jnp.int4 if quant == "int4" else jnp.int8
-        sshape = shape[:-1] + (1,)
+        # scales are [layers, B, n_kv, T] with NO trailing singleton: a
+        # [..., T, 1] f32 tensor tiles its last two dims to (8, 128) on TPU —
+        # a 128x physical lane-padding of every scale buffer that the decode
+        # loop then re-streams per layer per step (measured as the 5x
+        # 512-token decode collapse at 7B, 2026-08-18; the flat layout's
+        # [..., T, n_kv] scales never had the singleton and never collapsed)
+        sshape = shape[:-1]
         return {"k": jnp.zeros(shape, qdt), "v": jnp.zeros(shape, qdt),
                 "k_scale": jnp.zeros(sshape, jnp.float32),
                 "v_scale": jnp.zeros(sshape, jnp.float32)}
@@ -373,9 +379,9 @@ def _cache_kv(kv_cache: Params, i, dtype, attend_len: Optional[int] = None
     k, v = kv_cache["k"][i][:, :, al], kv_cache["v"][i][:, :, al]
     if "k_scale" in kv_cache:
         k = (k.astype(jnp.float32)
-             * kv_cache["k_scale"][i][:, :, al]).astype(dtype)
+             * kv_cache["k_scale"][i][:, :, al, None]).astype(dtype)
         v = (v.astype(jnp.float32)
-             * kv_cache["v_scale"][i][:, :, al]).astype(dtype)
+             * kv_cache["v_scale"][i][:, :, al, None]).astype(dtype)
     else:
         k, v = k.astype(dtype), v.astype(dtype)
     return k, v
@@ -396,7 +402,7 @@ def _int8_kv_decode_attention(q, k_q, ks, v_q, vs, key_mask, bias=None):
     up to float reassociation.
 
     q: [B, H, 1, D] (pre-scaled by caller? no — scaled here);
-    k_q/v_q: [B, n_kv, L, D] int8; ks/vs: [B, n_kv, L, 1] f32;
+    k_q/v_q: [B, n_kv, L, D] int8; ks/vs: [B, n_kv, L] f32;
     key_mask: [B, L] bool. Returns [B, H, 1, D] in q.dtype.
     GQA: query head h reads kv head h // (H / n_kv)."""
     b, h, _, d = q.shape
@@ -409,13 +415,13 @@ def _int8_kv_decode_attention(q, k_q, ks, v_q, vs, key_mask, bias=None):
         qg, k_q.astype(qg.dtype),
         (((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32)
-    s = s * jnp.swapaxes(ks, 2, 3)               # [B, n_kv, 1, L] row scales
+    s = s * ks[:, :, None, :]                    # [B, n_kv, 1, L] row scales
     if bias is not None:                         # ALiBi [B, H, 1, L]
         l = k_q.shape[2]
         s = s + bias.reshape(b, n_kv, n_rep, l)
     s = jnp.where(key_mask[:, None, None, :], s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
-    pv = (p * jnp.swapaxes(vs, 2, 3)).astype(q.dtype)   # fold v scales into p
+    pv = (p * vs[:, :, None, :]).astype(q.dtype)        # fold v scales into p
     # [B, n_kv, n_rep, D] — contract L, batch (B, n_kv)
     out = jax.lax.dot_general(
         pv, v_q.astype(pv.dtype),
@@ -509,8 +515,10 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
                 vq, vs = _quant_rows(v_new, new_cache["v"].dtype)
                 new_cache["k"] = new_cache["k"].at[i, :, :, :t, :].set(kq)
                 new_cache["v"] = new_cache["v"].at[i, :, :, :t, :].set(vq)
-                new_cache["k_scale"] = new_cache["k_scale"].at[i, :, :, :t, :].set(ks)
-                new_cache["v_scale"] = new_cache["v_scale"].at[i, :, :, :t, :].set(vs)
+                new_cache["k_scale"] = new_cache["k_scale"].at[
+                    i, :, :, :t].set(ks[..., 0])
+                new_cache["v_scale"] = new_cache["v_scale"].at[
+                    i, :, :, :t].set(vs[..., 0])
             else:
                 dt = new_cache["k"].dtype
                 new_cache["k"] = new_cache["k"].at[i, :, :, :t, :].set(
@@ -606,9 +614,9 @@ def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
             out_cache["v"] = out_cache["v"].at[
                 i, batch_idx, :, positions].set(vq)
             out_cache["k_scale"] = out_cache["k_scale"].at[
-                i, batch_idx, :, positions].set(ks)
+                i, batch_idx, :, positions].set(ks[..., 0])
             out_cache["v_scale"] = out_cache["v_scale"].at[
-                i, batch_idx, :, positions].set(vs)
+                i, batch_idx, :, positions].set(vs[..., 0])
         else:
             dt = out_cache["k"].dtype
             out_cache["k"] = out_cache["k"].at[
@@ -670,12 +678,20 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
         cos, sin = rope_tables(cfg, positions)
     for i, layer in enumerate(params["layers"]):
         def put_heads(buf, val):
-            """val [B, n_kv, D or 1] -> cache slot (uniform DUS or scatter)."""
+            """val [B, n_kv, D] -> cache slot (uniform DUS or scatter)."""
             if write_slot is not None:
                 return jax.lax.dynamic_update_slice(
                     buf, val[None, :, :, None].astype(buf.dtype),
                     (i, 0, 0, write_slot, 0))
             return buf.at[i, batch_idx, :, cache_len].set(val.astype(buf.dtype))
+
+        def put_scale(buf, val):
+            """val [B, n_kv, 1] -> [layers, B, n_kv, T] scale slot."""
+            if write_slot is not None:
+                return jax.lax.dynamic_update_slice(
+                    buf, val[None].astype(buf.dtype), (i, 0, 0, write_slot))
+            return buf.at[i, batch_idx, :, cache_len].set(
+                val[..., 0].astype(buf.dtype))
 
         def put_flat(buf, val):
             """val [B, X] -> flat-layout cache slot."""
@@ -748,8 +764,8 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             vq, vsc = _quant_rows(v1[:, :, 0], out_cache["v"].dtype)
             out_cache["k"] = put_heads(out_cache["k"], kq)
             out_cache["v"] = put_heads(out_cache["v"], vq)
-            out_cache["k_scale"] = put_heads(out_cache["k_scale"], ksc)
-            out_cache["v_scale"] = put_heads(out_cache["v_scale"], vsc)
+            out_cache["k_scale"] = put_scale(out_cache["k_scale"], ksc)
+            out_cache["v_scale"] = put_scale(out_cache["v_scale"], vsc)
             # scale-folded attention straight over the int8 cache — no
             # dequantized cache image is ever materialized
             att = _int8_kv_decode_attention(
