@@ -134,7 +134,11 @@ def main():
                               # the static prefix slices make XLA re-copy
                               # cache views instead of saving tail DMA
                               decode_cache_grow=int(os.environ.get(
-                                  "BENCH_GROW", "0")))
+                                  "BENCH_GROW", "0")),
+                              # cap decode scan trip counts under the v5e
+                              # double-buffering cliff (config.py)
+                              decode_scan_segment=int(os.environ.get(
+                                  "BENCH_SCAN_SEG", "256")))
 
     dtype = jnp.bfloat16
     # 7B/13B need quantized LLM weights to fit one v5e-16G chip (bf16 14/26

@@ -506,3 +506,36 @@ def test_growing_cache_decode_token_identical():
             np.testing.assert_allclose(np.asarray(seg.pred_hidden, np.float32),
                                        np.asarray(base.pred_hidden, np.float32),
                                        atol=1e-3 if kvq else 1e-5)
+
+
+def test_scan_segment_split_token_identical():
+    """scan_segment caps decode scan trip counts (the v5e while-loop
+    double-buffering cliff workaround, runtime/generate.greedy_generate):
+    every segment reads/writes the SAME full-length cache, so tokens,
+    lengths, and hidden states must match the single-scan path bitwise."""
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(23), cfg)
+    rng = np.random.RandomState(23)
+    batch = np.zeros((2, 6), np.int64)
+    batch[0, :3] = rng.randint(3, cfg.vocab_size, 3)
+    batch[1] = rng.randint(3, cfg.vocab_size, 6)
+    mask = np.zeros((2, 6), bool)
+    mask[0, :3] = True
+    mask[1] = True
+    x = llm.embed(params, jnp.asarray(batch))
+    for kvq in ("", "int8"):
+        base = greedy_generate(params, cfg, x, jnp.asarray(mask),
+                               max_new_tokens=10, eos_id=2, kv_quant=kvq,
+                               scan_segment=0)
+        for seg_len in (3, 4, 10, 256):
+            seg = greedy_generate(params, cfg, x, jnp.asarray(mask),
+                                  max_new_tokens=10, eos_id=2, kv_quant=kvq,
+                                  scan_segment=seg_len)
+            np.testing.assert_array_equal(
+                np.asarray(base.tokens), np.asarray(seg.tokens),
+                err_msg=f"{kvq}/seg{seg_len}")
+            np.testing.assert_array_equal(np.asarray(base.lengths),
+                                          np.asarray(seg.lengths))
+            np.testing.assert_array_equal(
+                np.asarray(base.pred_hidden, np.float32),
+                np.asarray(seg.pred_hidden, np.float32))

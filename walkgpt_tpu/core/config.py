@@ -244,6 +244,13 @@ class WalkGPTConfig:
     # activation memory, letting decode run batches whose full-batch
     # prefill would blow HBM (runtime/generate._prefill).
     prefill_chunk: int = 0
+    # cap on any single decode lax.scan's trip count (0 = uncapped). v5e
+    # cliff measured 2026-08-18 (7B batch16, int8 KV, 912-slot cache):
+    # 256-trip scans decode at 12.1 ms/step, a 512-trip scan at 58.7 —
+    # past a trip-count threshold XLA's while-loop double-buffering stops
+    # aliasing the quantized cache carry and re-copies it per iteration.
+    # Segments share one full-length cache; tokens identical.
+    decode_scan_segment: int = 256
     # decode in scan segments with a statically growing KV cache (slots):
     # segment k's attention reads a [*, T + (k+1)*step] cache instead of
     # the full T+max_new buffer. MEASURED REGRESSION on v5e (2026-08-18,

@@ -514,7 +514,8 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
             params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
             max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
             kv_quant=cfg.kv_quant_cache, prefill_chunk=cfg.prefill_chunk,
-            cache_grow_step=cfg.decode_cache_grow)
+            cache_grow_step=cfg.decode_cache_grow,
+            scan_segment=cfg.decode_scan_segment)
 
     # [SEG] over generated tokens; pred_hidden[t] predicted tokens[t], matching
     # the reference's position-1 indexing (model/walkgpt.py:653-671)

@@ -123,7 +123,8 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                     logits_mask: Optional[jnp.ndarray] = None,
                     flash_fn=None, kv_quant="",
                     prefill_chunk: int = 0,
-                    cache_grow_step: int = 0) -> GenerateResult:
+                    cache_grow_step: int = 0,
+                    scan_segment: int = 256) -> GenerateResult:
     """inputs_embeds: [B, T, H] right-padded prompt embeddings;
     attention_mask: [B, T] bool. logits_mask: optional [V] bool of allowed
     tokens (True = allowed) applied at every step. kv_quant stores the KV
@@ -132,12 +133,18 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
 
     cache_grow_step > 0 runs the decode as SEQUENTIAL scan segments over ONE
     full-length cache allocation: segment k's attention dot reads only the
-    static prefix slice [*, :T + (k+1)*step] of the cache (a zero-copy view
-    — static-offset slices feed the dot directly). With a single scan, every
-    step streams the whole preallocated buffer through the attention dot —
-    at 7B/512-token budgets the masked tail is ~25% of decode-time cache
-    DMA. Same tokens by construction (the masked tail contributed -inf
-    scores). Heads-layout only (the flat/fused paths keep one scan)."""
+    static prefix slice [*, :T + (k+1)*step] of the cache. MEASURED
+    REGRESSION on v5e (see core/config.decode_cache_grow) — keep 0.
+
+    scan_segment caps the TRIP COUNT of any single decode lax.scan (the
+    segments all read/write the same full-length cache — no slicing).
+    Measured v5e cliff (7B batch16 int4 weights, int8 KV, 912-slot cache,
+    2026-08-18): one 256-trip scan decodes at 12.1 ms/step, one 512-trip
+    scan at 58.7 ms/step (both int8 layouts; bf16 caches are immune at
+    17.6) — past a trip-count threshold XLA's while-loop double-buffering
+    re-copies the quantized cache buffers every iteration instead of
+    aliasing them. Splitting at 256 keeps every scan under the cliff;
+    tokens are identical by construction."""
     b, t, h = inputs_embeds.shape
     max_len = t + max_new_tokens
     cache_dtype = inputs_embeds.dtype
@@ -153,12 +160,20 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
         max_len = -(-max_len // DECODE_BLOCK) * DECODE_BLOCK
         layout = "flat"
 
-    segments = [max_new_tokens]
-    if (cache_grow_step and layout == "heads"
-            and max_new_tokens > cache_grow_step):
-        segments = [cache_grow_step] * (max_new_tokens // cache_grow_step)
-        if max_new_tokens % cache_grow_step:
-            segments.append(max_new_tokens % cache_grow_step)
+    def split(step):
+        out = [step] * (max_new_tokens // step)
+        if max_new_tokens % step:
+            out.append(max_new_tokens % step)
+        return out
+
+    grow = bool(cache_grow_step and layout == "heads"
+                and max_new_tokens > cache_grow_step)
+    if grow:
+        segments = split(cache_grow_step)
+    elif scan_segment and max_new_tokens > scan_segment:
+        segments = split(scan_segment)
+    else:
+        segments = [max_new_tokens]
 
     # prefill on an exactly-prompt-length cache, then ONE pad to max_len
     # (see _pad_cache_len: avoids per-layer full-size pad temps)
@@ -193,8 +208,9 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     tok_segs, hid_segs, val_segs = [], [], []
     steps_done = 0
     for seg in segments:
-        # this segment's attention reads only cache slots [0, attend_len)
-        attend_len = max_len if len(segments) == 1 else t + steps_done + seg
+        # growing-cache mode: this segment's attention reads only cache
+        # slots [0, attend_len); scan-split mode reads the full cache
+        attend_len = (t + steps_done + seg) if grow else max_len
         key_pos = jnp.arange(attend_len, dtype=jnp.int32)[None]     # [1, L]
         prompt_valid = key_pos < lengths0[:, None]                  # [B, L]
         base = t + steps_done
