@@ -195,7 +195,8 @@ def main():
             max_new_tokens=max_new, max_segs=MAX_SEGS * batch,
             eos_id=tok.eos_token_id)
 
-    fn = jax.jit(pipeline)
+    from walkgpt_tpu.core.xla_opts import decode_compiler_options
+    fn = jax.jit(pipeline, compiler_options=decode_compiler_options())
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(batch, s, s, 3), dtype)
     input_ids = jnp.asarray(np.repeat(ids, batch, axis=0))

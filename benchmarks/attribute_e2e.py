@@ -96,7 +96,7 @@ def main():
               flush=True)
 
     # --- 2/3. prefill + decode slope through the LLM only ---
-    t_prompt = 400
+    t_prompt = int(os.environ.get("A_TPROMPT", "400"))
     lcfg = cfg.llm
     emb = jax.random.normal(jax.random.PRNGKey(1),
                             (batch, t_prompt, lcfg.hidden_size), dtype)

@@ -244,6 +244,12 @@ class WalkGPTConfig:
     # activation memory, letting decode run batches whose full-batch
     # prefill would blow HBM (runtime/generate._prefill).
     prefill_chunk: int = 0
+    # [SEG] mask-decode tail chunk (0 = all segs at once): generate's tail
+    # runs the SAM decoder + 1024^2 canvas upsample over max_segs in
+    # lax.map slices of this size, bounding tail temps (which otherwise
+    # push big programs past XLA's remat threshold — see
+    # models/walkgpt.generate_and_segment).
+    mask_decode_chunk: int = 64
     # cap on any single decode lax.scan's trip count (0 = uncapped). v5e
     # cliff measured 2026-08-18 (7B batch16, int8 KV, 912-slot cache):
     # 256-trip scans decode at 12.1 ms/step, a 512-trip scan at 58.7 —

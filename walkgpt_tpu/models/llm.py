@@ -337,8 +337,8 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
             qdt = jnp.int4 if quant == "int4" else jnp.int8
             sshape = shape[:-1] + (cfg.num_kv_heads,)   # per (token, kv head)
             return {"k": jnp.zeros(shape, qdt), "v": jnp.zeros(shape, qdt),
-                    "k_scale": jnp.zeros(sshape, jnp.float32),
-                    "v_scale": jnp.zeros(sshape, jnp.float32)}
+                    "k_scale": jnp.zeros(sshape, jnp.bfloat16),
+                    "v_scale": jnp.zeros(sshape, jnp.bfloat16)}
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if quant:
@@ -351,8 +351,8 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
         # [..., T, n_kv] scales never had the singleton and never collapsed)
         sshape = shape[:-1]
         return {"k": jnp.zeros(shape, qdt), "v": jnp.zeros(shape, qdt),
-                "k_scale": jnp.zeros(sshape, jnp.float32),
-                "v_scale": jnp.zeros(sshape, jnp.float32)}
+                "k_scale": jnp.zeros(sshape, jnp.bfloat16),
+                "v_scale": jnp.zeros(sshape, jnp.bfloat16)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -361,13 +361,24 @@ def _cache_is_flat(kv_cache: Params) -> bool:
 
 
 def _quant_rows(x: jnp.ndarray, qdt=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[..., D] -> (int values, fp32 scale [..., 1]); symmetric per-row.
-    qdt int8 -> +-127 levels, int4 -> +-7."""
+    """[..., D] -> (int values, BF16 scale [..., 1]); symmetric per-row.
+    qdt int8 -> +-127 levels, int4 -> +-7.
+
+    Scales are bf16, and quantization divides by the ROUNDED scale so the
+    stored (q, scale) pair is self-consistent. f32 scale buffers made TPU
+    remat treat the cache scales as compression candidates: in HBM-tight
+    programs it inserted f32<->bf16 compress/uncompress copies of BOTH full
+    scale tensors into every decode-scan iteration (118 remat copies of
+    f32[32,16,32,862] in the 7B/512-token HLO — the dominant cost of the
+    33 s/batch collapse, 2026-08-18). bf16 buffers cannot be compressed
+    further, so the pass leaves them alone; the scale value itself only
+    needs ~1% precision."""
     qmax = 7.0 if qdt == jnp.int4 else 127.0
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / qmax
-    q = jnp.clip(jnp.round(xf / scale), -qmax, qmax).astype(qdt)
+    scale = (jnp.maximum(amax, 1e-8) / qmax).astype(jnp.bfloat16)
+    q = jnp.clip(jnp.round(xf / scale.astype(jnp.float32)), -qmax, qmax
+                 ).astype(qdt)
     return q, scale
 
 

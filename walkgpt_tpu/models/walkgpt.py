@@ -534,19 +534,41 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
     pred_embeddings = ctp_apply(params["ctp"][0], hid)
 
     img_of_seg = row_image_idx[seg_rows]
-    low_res, _ = sam.decode_masks(params["sam"], sam_config(cfg),
-                                  feats[img_of_seg],
-                                  text_embeds=pred_embeddings[:, None],
-                                  multimask_output=False)
     img_size = cfg.sam.img_size
-    pred_canvas = bilinear_resize(low_res[:, 0][..., None],
-                                  (img_size, img_size))[..., 0]
 
-    hw = pixel_hw[img_of_seg]
-    yy = jnp.arange(img_size)[None, :, None]
-    xx = jnp.arange(img_size)[None, None, :]
-    pixel_valid = (yy < hw[:, 0, None, None]) & (xx < hw[:, 1, None, None])
-    score = _mask_score(pred_canvas, pixel_valid)
+    def seg_chunk(emb, img_idx):
+        """Mask-decode + canvas upsample + score for one [SEG] chunk."""
+        low_res, _ = sam.decode_masks(params["sam"], sam_config(cfg),
+                                      feats[img_idx],
+                                      text_embeds=emb[:, None],
+                                      multimask_output=False)
+        canvas = bilinear_resize(low_res[:, 0][..., None],
+                                 (img_size, img_size))[..., 0]
+        hw = pixel_hw[img_idx]
+        yy = jnp.arange(img_size)[None, :, None]
+        xx = jnp.arange(img_size)[None, None, :]
+        pixel_valid = (yy < hw[:, 0, None, None]) & (xx < hw[:, 1, None, None])
+        return canvas, _mask_score(canvas, pixel_valid)
+
+    # chunk the tail: decoding all max_segs at once gathers a
+    # [max_segs, 64, 64, 256] feature copy and runs the TwoWayTransformer +
+    # 1024^2 upsample on every seg simultaneously — ~3-4 GB of co-live temps
+    # that pushed the 7B/512-token program past XLA's remat threshold (the
+    # remat then lands in the DECODE LOOP, compressing the KV cache every
+    # step: 57 ms/step vs 14; v5e, 2026-08-18). lax.map runs the identical
+    # math in sequential slices; the decoder is compute-light so the
+    # serialization is free.
+    chunk = cfg.mask_decode_chunk
+    if chunk and max_segs > chunk and max_segs % chunk == 0:
+        n = max_segs // chunk
+        pred_canvas, score = jax.lax.map(
+            lambda args: seg_chunk(*args),
+            (pred_embeddings.reshape(n, chunk, -1),
+             img_of_seg.reshape(n, chunk)))
+        pred_canvas = pred_canvas.reshape(max_segs, img_size, img_size)
+        score = score.reshape(max_segs)
+    else:
+        pred_canvas, score = seg_chunk(pred_embeddings, img_of_seg)
 
     return EvaluateOutput(tokens=res.tokens, lengths=res.lengths,
                           pred_masks=pred_canvas, seg_valid=seg_valid,

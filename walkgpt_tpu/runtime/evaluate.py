@@ -251,7 +251,8 @@ def _jit_caches(cfg):
                 params, cfg, images=images, input_ids=input_ids, labels=labels,
                 attention_mask=attention_mask, row_image_idx=row_image_idx,
                 gt_masks=gt_masks, pixel_hw=pixel_hw, max_segs=max_segs)
-        return jax.jit(f)
+        from ..core.xla_opts import decode_compiler_options
+        return jax.jit(f, compiler_options=decode_compiler_options())
 
     @functools.lru_cache(maxsize=16)
     def gen(max_new_tokens, max_segs, eos_id, visual_stream="sam",
@@ -265,7 +266,8 @@ def _jit_caches(cfg):
                 max_segs=max_segs, eos_id=eos_id,
                 images_clip=images_clip, clip_resize_hw=clip_resize_hw,
                 visual_stream=visual_stream, speculative_k=speculative_k)
-        return jax.jit(g)
+        from ..core.xla_opts import decode_compiler_options
+        return jax.jit(g, compiler_options=decode_compiler_options())
 
     return fwd, gen
 
