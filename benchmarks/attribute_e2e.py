@@ -152,8 +152,15 @@ def main():
                 max_new_tokens=steps, max_segs=MAX_SEGS * batch, eos_id=-1)
             return r.tokens
 
-        e1 = jax.jit(lambda p, im, ii, a: e2e(p, im, ii, a, 1))
-        en = jax.jit(lambda p, im, ii, a: e2e(p, im, ii, a, 1 + n))
+        # same compile options as bench.py: the stock TPU remat pass is
+        # pathological on these programs (core/xla_opts.py) — with it on,
+        # the 1-step e2e program at 7B batch 20 crashes the TPU worker
+        from walkgpt_tpu.core.xla_opts import decode_compiler_options
+        opts = decode_compiler_options()
+        e1 = jax.jit(lambda p, im, ii, a: e2e(p, im, ii, a, 1),
+                     compiler_options=opts)
+        en = jax.jit(lambda p, im, ii, a: e2e(p, im, ii, a, 1 + n),
+                     compiler_options=opts)
         t1e = timeit(e1, params, images, input_ids, attn)
         print(f"e2e 1step             {t1e*1000:9.1f} ms", flush=True)
         tne = timeit(en, params, images, input_ids, attn)

@@ -70,7 +70,11 @@ def main():
                                 kv_quant=kvq)
             return r.tokens
 
-        fn = jax.jit(run)
+        # production compile options (core/xla_opts): the stock remat pass
+        # collapses 512-trip quantized-cache scans (51.8 ms/step with it vs
+        # 18.2 in the identical-options e2e program, 7B batch 20 2026-08-18)
+        from walkgpt_tpu.core.xla_opts import decode_compiler_options
+        fn = jax.jit(run, compiler_options=decode_compiler_options())
         out = fn(params, emb, mask)
         int(out.sum())                       # compile + flush
         best = float("inf")
