@@ -57,7 +57,8 @@ def main():
             row_image_idx=jnp.arange(batch, dtype=jnp.int32),
             pixel_hw=jnp.broadcast_to(jnp.array([[s - s // 4, s]]), (batch, 2)),
             max_new_tokens=steps, max_segs=16 * batch, eos_id=2)
-    fn = jax.jit(pipeline)
+    from walkgpt_tpu.core.xla_opts import decode_compiler_options
+    fn = jax.jit(pipeline, compiler_options=decode_compiler_options())
     out = fn(params, images, input_ids, attn)
     print("# warm:", float(out.tokens.sum()), flush=True)
     import time
