@@ -121,7 +121,8 @@ def main():
     cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True,
                               fast_gelu=True,
                               kv_quant_cache=kv if kv in ("int8", "int4",
-                                                          "int8_flat")
+                                                          "int8_flat",
+                                                          "int4_flat")
                               else False,
                               sam_encode_chunk=int(os.environ.get(
                                   "BENCH_SAM_CHUNK", "0")),

@@ -65,9 +65,16 @@ def main():
         kvq = "" if kv == "none" else kv
 
         def run(params, emb, mask):
+            # production prefill path (walkgpt.model_forward): Pallas flash
+            # attention — naive MHA materializes f32 [B, H, T, T] score
+            # temps (500 MB at 7B batch 20 / 400 tokens) and OOMs configs
+            # the real pipeline runs fine
+            from walkgpt_tpu.ops.flash_attention import flash_attention
+            flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
+                                                           key_valid=kv)
             r = greedy_generate(params, lcfg, emb, mask,
                                 max_new_tokens=steps, eos_id=-1,
-                                kv_quant=kvq)
+                                kv_quant=kvq, flash_fn=flash_fn)
             return r.tokens
 
         # production compile options (core/xla_opts): the stock remat pass

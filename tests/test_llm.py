@@ -447,9 +447,10 @@ def test_chunked_prefill_matches_full():
 
 
 def test_int8_flat_cache_matches_heads_layout():
-    """kv_quant='int8_flat' (flat rows + block-diag XLA attention) produces
-    the same decode trajectory as the heads-layout int8 cache, for MHA and
-    GQA configs."""
+    """kv_quant='int8_flat' (flat rows + the fused Pallas decode-attention
+    kernel with in-VMEM dequant) produces the same decode trajectory as the
+    heads-layout int8 cache, for MHA and GQA configs — both paths quantize
+    on the identical per-(token, kv-head) grid."""
     import numpy as np
     from walkgpt_tpu.core.config import LLAMA_TINY, LLMConfig
     from walkgpt_tpu.models import llm
@@ -472,7 +473,39 @@ def test_int8_flat_cache_matches_heads_layout():
         a = np.asarray(flat.pred_hidden, np.float32)
         b = np.asarray(heads.pred_hidden, np.float32)
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
-        assert rel < 1e-4, rel     # same per-(token,kv) quantization grid
+        # same quant grid; the kernel's bf16 dequant dots + online softmax
+        # reassociate vs the heads path's full-row f32 softmax
+        assert rel < 5e-3, rel
+
+
+def test_int4_flat_cache_decodes_close_to_fp():
+    """kv_quant='int4_flat' (nibble-packed flat cache, in-kernel unpack)
+    tracks the full-precision decode closely on a well-conditioned model —
+    int4 KV is lossy, so this checks trajectory fidelity, not bit equality."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY, LLMConfig
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.runtime.generate import greedy_generate
+
+    gqa = LLMConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                    num_layers=2, num_heads=4, num_kv_heads=2)
+    for cfg in (LLAMA_TINY, gqa):
+        params = llm.init(jax.random.PRNGKey(7), cfg)
+        rng = np.random.RandomState(7)
+        ids = jnp.asarray(rng.randint(3, cfg.vocab_size, (2, 10)))
+        mask = jnp.ones((2, 10), bool)
+        x = llm.embed(params, ids)
+        fp = greedy_generate(params, cfg, x, mask, max_new_tokens=6,
+                             eos_id=2)
+        q4 = greedy_generate(params, cfg, x, mask, max_new_tokens=6,
+                             eos_id=2, kv_quant="int4_flat")
+        a = np.asarray(q4.pred_hidden, np.float32)
+        b = np.asarray(fp.pred_hidden, np.float32)
+        # int4 KV error compounds over steps; bound the FIRST-step hidden
+        # tightly (pure attention error) and the rest loosely
+        rel0 = np.abs(a[:, 0] - b[:, 0]).max() / (np.abs(b[:, 0]).max() + 1e-9)
+        assert rel0 < 0.15, rel0
+        assert np.isfinite(a).all()
 
 
 def test_growing_cache_decode_token_identical():

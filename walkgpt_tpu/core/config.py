@@ -233,9 +233,12 @@ class WalkGPTConfig:
     fast_gelu: bool = False
     # quantized KV cache (per-row scales): False = full precision,
     # "int8"/True = halve decode-time cache HBM reads (convert fuses into
-    # the attention dot — the production choice), "int4" = KIVI-class format
-    # option (on current XLA/v5e the int4 convert is NOT fused and costs
-    # more than it saves — see models/llm.py init_kv_cache).
+    # the attention dot), "int4" = KIVI-class heads-layout format option
+    # (on current XLA/v5e the int4 convert is NOT fused and costs more than
+    # it saves — see models/llm.py init_kv_cache). "int8_flat"/"int4_flat"
+    # = flat-layout cache read by the fused Pallas decode-attention kernel
+    # with in-VMEM dequant (ops/flash_attention.decode_attention_q):
+    # full-rate rows, and int4_flat halves the bytes again (nibble-packed).
     kv_quant_cache: "bool | str" = False
     # SAM encoder sub-batch size for encode (0 = whole batch at once):
     # bounds ViT activation memory at large decode batches.

@@ -328,17 +328,28 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
 
     layout="flat" stores [layers, B, L, n_kv*D] instead of
     [layers, B, n_kv, L, D]: contiguous 4-8 KB rows that the fused Pallas
-    decode-attention kernel streams at full HBM bandwidth (the heads layout's
-    256 B rows read at ~60% of peak). decode_step dispatches on the rank."""
+    decode-attention kernels stream at full HBM bandwidth (the heads layout's
+    256 B rows read at ~60% of peak). Quantized flat caches pair with
+    ops/flash_attention.decode_attention_q (in-VMEM dequant; the XLA
+    block-diagonal formulation materialized a bf16 cache copy per layer per
+    step — 35.4 s/batch16 at 7B, 2026-08-18): values are int8 rows, or for
+    quant="int4" NIBBLE-PACKED pairs [layers, B, L, n_kv*D/2] int8 (the
+    jnp.int4 dtype the heads layout uses never crosses into Pallas); scales
+    are [layers, B, n_kv, L] so the kernel's per-head scale row is a native
+    lane vector AND the lane dim is L, not n_kv (the [.., L, n_kv] order
+    lane-pads n_kv 32 -> 128 = 4x the scale HBM). decode_step dispatches on
+    the rank."""
     if layout == "flat":
-        shape = (cfg.num_layers, batch, max_len,
-                 cfg.num_kv_heads * cfg.head_dim)
+        kd = cfg.num_kv_heads * cfg.head_dim
         if quant:
-            qdt = jnp.int4 if quant == "int4" else jnp.int8
-            sshape = shape[:-1] + (cfg.num_kv_heads,)   # per (token, kv head)
-            return {"k": jnp.zeros(shape, qdt), "v": jnp.zeros(shape, qdt),
+            pack4 = quant == "int4"
+            shape = (cfg.num_layers, batch, max_len, kd // 2 if pack4 else kd)
+            sshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len)
+            return {"k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
                     "k_scale": jnp.zeros(sshape, jnp.bfloat16),
                     "v_scale": jnp.zeros(sshape, jnp.bfloat16)}
+        shape = (cfg.num_layers, batch, max_len, kd)
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if quant:
@@ -380,6 +391,22 @@ def _quant_rows(x: jnp.ndarray, qdt=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarray]
     q = jnp.clip(jnp.round(xf / scale.astype(jnp.float32)), -qmax, qmax
                  ).astype(qdt)
     return q, scale
+
+
+def _quant_pack4_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., D] -> (nibble-packed int8 [..., D/2], bf16 scale [..., 1]).
+    Per-row symmetric int4 (+-7 levels), divided by the ROUNDED bf16 scale
+    like _quant_rows; pack order (j, j+D/2) -> byte j — the
+    decode_attention_q kernel's lo/hi half-dim convention."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = (jnp.maximum(amax, 1e-8) / 7.0).astype(jnp.bfloat16)
+    q = jnp.clip(jnp.round(xf / scale.astype(jnp.float32)), -7, 7
+                 ).astype(jnp.int8)
+    d = x.shape[-1]
+    lo, hi = q[..., : d // 2], q[..., d // 2:]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.int8)
+    return packed, scale
 
 
 def _cache_kv(kv_cache: Params, i, dtype, attend_len: Optional[int] = None
@@ -505,17 +532,25 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
                 flat = lambda z: z.transpose(0, 2, 1, 3).reshape(
                     bb, tt, hkv * dd)
                 if "k_scale" in new_cache:
-                    # per (token, kv-head) scales on the [B, T, n_kv, D] view
-                    kq, ks = _quant_rows(k_new.transpose(0, 2, 1, 3), dt)
-                    vq, vs = _quant_rows(v_new.transpose(0, 2, 1, 3), dt)
+                    # per (token, kv-head) scales on the [B, T, n_kv, D] view;
+                    # scale layout is [layers, B, n_kv, T] (init_kv_cache)
+                    kt = k_new.transpose(0, 2, 1, 3)
+                    vt = v_new.transpose(0, 2, 1, 3)
+                    width = new_cache["k"].shape[-1]
+                    if width == hkv * dd // 2:          # nibble-packed int4
+                        kq, ks = _quant_pack4_rows(kt)
+                        vq, vs = _quant_pack4_rows(vt)
+                    else:
+                        kq, ks = _quant_rows(kt, jnp.int8)
+                        vq, vs = _quant_rows(vt, jnp.int8)
                     new_cache["k"] = new_cache["k"].at[i, :, :t, :].set(
-                        kq.reshape(bb, tt, hkv * dd))
+                        kq.reshape(bb, tt, width))
                     new_cache["v"] = new_cache["v"].at[i, :, :t, :].set(
-                        vq.reshape(bb, tt, hkv * dd))
+                        vq.reshape(bb, tt, width))
                     new_cache["k_scale"] = new_cache["k_scale"].at[
-                        i, :, :t, :].set(ks[..., 0])
+                        i, :, :, :t].set(ks[..., 0].transpose(0, 2, 1))
                     new_cache["v_scale"] = new_cache["v_scale"].at[
-                        i, :, :t, :].set(vs[..., 0])
+                        i, :, :, :t].set(vs[..., 0].transpose(0, 2, 1))
                 else:
                     new_cache["k"] = new_cache["k"].at[i, :, :t, :].set(
                         flat(k_new).astype(dt))
@@ -538,46 +573,6 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
                     v_new.astype(dt))
     x = _norm(params["final_norm"], x, cfg)
     return x, new_cache
-
-
-def _flat_quant_decode_attention(q, k_q, ks, v_q, vs, key_mask, n_kv: int):
-    """One-token attention over a FLAT int8 cache at full HBM row rate,
-    XLA-only (no custom-call launch overhead).
-
-    The heads-layout cache reads 128-byte [D] rows per (kv, position) —
-    ~50-60% of peak DMA on v5e. Here the cache rows are [n_kv*D] (4-8 KB,
-    full rate) and the score contraction runs as ONE batched dot against a
-    BLOCK-DIAGONAL query matrix: with qblk[(kv,d), h] = q[h, d] iff
-    kv == h // n_rep,   s[l, h] = k_flat[l] . qblk[:, h].
-    The MXU does n_kv x the minimal FLOP count — irrelevant next to the DMA
-    it saves. PV runs as a grouped einsum over the [L, n_kv, D] view (reads
-    v_flat once, l-major contiguous). Per-(token, kv) scales fold outside
-    both contractions like _int8_kv_decode_attention.
-
-    q: [B, H, 1, D]; k_q/v_q: [B, L, n_kv*D] int8; ks/vs: [B, L, n_kv] f32;
-    key_mask: [B, L]. Returns [B, H, 1, D]."""
-    b, h, _, d = q.shape
-    l = k_q.shape[1]
-    kd = k_q.shape[-1]
-    n_rep = h // n_kv
-    qf = q[:, :, 0] * (1.0 / math.sqrt(d))                  # [B, H, D]
-    eye = ((jnp.arange(h) // n_rep)[:, None]
-           == jnp.arange(n_kv)[None]).astype(qf.dtype)      # [H, n_kv]
-    # [B, n_kv, D, H] -> [B, KD, H]
-    qblk = (qf.transpose(0, 2, 1)[:, None] * eye.T[None, :, None, :])
-    qblk = qblk.reshape(b, kd, h)
-    s = jax.lax.dot_general(k_q.astype(qf.dtype), qblk,
-                            (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)  # [B, L, H]
-    s = s * jnp.repeat(ks, n_rep, axis=-1)
-    s = jnp.where(key_mask[:, :, None], s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=1)
-    pv = (p * jnp.repeat(vs, n_rep, axis=-1)).astype(q.dtype)   # [B, L, H]
-    out = jnp.einsum("blkr,blkd->bkrd",
-                     pv.reshape(b, l, n_kv, n_rep),
-                     v_q.reshape(b, l, n_kv, d).astype(q.dtype),
-                     preferred_element_type=jnp.float32)
-    return out.reshape(b, h, 1, d).astype(q.dtype)
 
 
 def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
@@ -731,21 +726,40 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                     "flat-cache decode supports rope/no-bias models; "
                     "use the heads-layout cache for ALiBi")
             if quant:
-                # flat int8 cache + XLA block-diag attention: full-rate
-                # cache rows, no custom-call overhead
-                kq, ksc = _quant_rows(k1[:, :, 0], dt)   # [B, n_kv, D]
-                vq, vsc = _quant_rows(v1[:, :, 0], dt)
+                # quantized flat cache + fused Pallas decode attention:
+                # full-rate int8/int4 cache rows, in-VMEM dequant
+                # (ops/flash_attention.decode_attention_q)
+                pack4 = kd == (cfg.num_kv_heads * cfg.head_dim) // 2
+                if pack4:
+                    kq, ksc = _quant_pack4_rows(k1[:, :, 0])  # [B,n_kv,D/2]
+                    vq, vsc = _quant_pack4_rows(v1[:, :, 0])
+                else:
+                    kq, ksc = _quant_rows(k1[:, :, 0], jnp.int8)
+                    vq, vsc = _quant_rows(v1[:, :, 0], jnp.int8)
+
+                def put_scale_flat(buf, val):
+                    """val [B, n_kv] -> [layers, B, n_kv, L] scale slot."""
+                    if write_slot is not None:
+                        return jax.lax.dynamic_update_slice(
+                            buf, val[None, :, :, None].astype(buf.dtype),
+                            (i, 0, 0, write_slot))
+                    return buf.at[i, batch_idx, :, cache_len].set(
+                        val.astype(buf.dtype))
+
                 out_cache["k"] = put_flat(out_cache["k"], kq.reshape(b, kd))
                 out_cache["v"] = put_flat(out_cache["v"], vq.reshape(b, kd))
-                out_cache["k_scale"] = put_flat(out_cache["k_scale"],
-                                                ksc[..., 0])
-                out_cache["v_scale"] = put_flat(out_cache["v_scale"],
-                                                vsc[..., 0])
-                att = _flat_quant_decode_attention(
-                    q, out_cache["k"][i], out_cache["k_scale"][i],
-                    out_cache["v"][i], out_cache["v_scale"][i], key_mask,
-                    cfg.num_kv_heads)
-                x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
+                out_cache["k_scale"] = put_scale_flat(out_cache["k_scale"],
+                                                      ksc[..., 0])
+                out_cache["v_scale"] = put_scale_flat(out_cache["v_scale"],
+                                                      vsc[..., 0])
+                from ..ops.flash_attention import decode_attention_q
+                att = decode_attention_q(
+                    q[:, :, 0].reshape(b, cfg.num_heads * cfg.head_dim),
+                    out_cache["k"], out_cache["k_scale"],
+                    out_cache["v"], out_cache["v_scale"], key_mask,
+                    n_kv=cfg.num_kv_heads, head_dim=cfg.head_dim,
+                    pack4=pack4, layer=i)
+                x = x + nn.linear(layer["attn"]["o"], att[:, None])
                 x = x + _mlp(layer["mlp"],
                              _norm(layer["post_norm"], x, cfg), cfg)
                 continue

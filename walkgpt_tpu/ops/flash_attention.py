@@ -1211,3 +1211,163 @@ def decode_attention(q, k_cache, v_cache, key_mask, *, n_kv: int,
         interpret=_interpret(),
     )(q[:, None], k_cache, v_cache, mask)
     return out[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# fused decode attention over a QUANTIZED flat cache (int8 / packed int4)
+# ---------------------------------------------------------------------------
+# The XLA formulations of quantized-cache decode attention both lose:
+#   * heads-layout int8 (llm._int8_kv_decode_attention): the convert fuses
+#     into the dot but the [.., n_kv, L, D] reads stream at ~60% of peak;
+#   * flat-layout int8 via a block-diagonal dot
+#     (llm._flat_quant_decode_attention): XLA materializes a dequantized
+#     bf16 copy of the full cache layer per step per layer — measured
+#     35.4 s/batch16 at 7B (2026-08-18), 3x WORSE than heads-layout.
+# This kernel reads the flat [layers, B, L, n_kv*D] int8 rows (4-8 KB,
+# full HBM rate, HALF the bf16 bytes) and dequantizes in VMEM: the
+# per-(token, kv-head) scales fold into the score row (k) and the softmax
+# row (v) OUTSIDE the dots, so the MXU sees plain bf16 nibble/byte values.
+# "pack4" halves the bytes again: two int4 values per byte, packed along
+# the head dim as (j, j+D/2) -> byte j (same convention as ops/int4.py);
+# the score/PV dots split into lo/hi half-dim pairs so no concatenate is
+# ever materialized. Scales live in [layers, B, n_kv, L] so the kernel's
+# per-head row slice is a native [1, bl] lane vector (the [.., L, n_kv]
+# order would lane-pad n_kv to 128 = 4x the scale bytes, and need an
+# in-kernel transpose).
+
+def _decode_attn_q_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
+                          o_ref, m_s, l_s, acc_s,
+                          *, h: int, n_kv: int, d: int, scale: float,
+                          pack4: bool):
+    jk = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(jk == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    k8 = k_ref[:]                                  # [bl, kd(/2)] int8
+    v8 = v_ref[:]
+    ks = ks_ref[:].astype(jnp.float32)             # [n_kv, bl]
+    vs = vs_ref[:].astype(jnp.float32)
+    valid = mask_ref[:]                            # [1, bl] int32
+    n_rep = h // n_kv
+    dh = d // 2 if pack4 else d
+
+    def head_cols(z, kv_h):
+        return z[:, kv_h * dh:(kv_h + 1) * dh]
+
+    def unpack(z8):
+        z32 = z8.astype(jnp.int32)
+        lo = ((z32 << 28) >> 28).astype(jnp.bfloat16)
+        hi = (z32 >> 4).astype(jnp.bfloat16)
+        return lo, hi
+
+    for hh in range(h):
+        kv_h = hh // n_rep
+        q_h = q_ref[:, hh * d:(hh + 1) * d].astype(jnp.bfloat16)   # [1, d]
+        if pack4:
+            klo, khi = unpack(head_cols(k8, kv_h))                 # [bl, d/2]
+            s = jax.lax.dot_general(q_h[:, :dh], klo,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + jax.lax.dot_general(q_h[:, dh:], khi,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        else:
+            k_h = head_cols(k8, kv_h).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        s = s * (ks[kv_h:kv_h + 1, :] * scale)                     # [1, bl]
+        s = jnp.where(valid != 0, s, NEG_INF)
+        m_old = m_s[hh:hh + 1, 0:1]
+        l_old = l_s[hh:hh + 1, 0:1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.where(valid != 0, jnp.exp(s - m_new), 0.0)         # [1, bl]
+        pv = (p * vs[kv_h:kv_h + 1, :]).astype(jnp.bfloat16)
+        if pack4:
+            vlo, vhi = unpack(head_cols(v8, kv_h))
+            out_lo = jax.lax.dot_general(pv, vlo, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            out_hi = jax.lax.dot_general(pv, vhi, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            acc_s[hh:hh + 1, :dh] = acc_s[hh:hh + 1, :dh] * alpha + out_lo
+            acc_s[hh:hh + 1, dh:] = acc_s[hh:hh + 1, dh:] * alpha + out_hi
+        else:
+            v_h = head_cols(v8, kv_h).astype(jnp.bfloat16)
+            out_h = jax.lax.dot_general(pv, v_h, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            acc_s[hh:hh + 1, :] = acc_s[hh:hh + 1, :] * alpha + out_h
+        m_s[hh:hh + 1, 0:1] = m_new
+        l_s[hh:hh + 1, 0:1] = l_old * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    @pl.when(jk == nb - 1)
+    def _finish():
+        for hh in range(h):
+            o_ref[:, hh * d:(hh + 1) * d] = (
+                acc_s[hh:hh + 1, :] /
+                jnp.maximum(l_s[hh:hh + 1, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
+                       n_kv: int, head_dim: int, pack4: bool = False,
+                       layer: int = 0, block: int = DECODE_BLOCK):
+    """One decode step of attention over a QUANTIZED flat cache.
+
+    q: [B, H*D]; k_cache/v_cache: [layers, B, L, n_kv*D] int8, or with
+    pack4=True [layers, B, L, n_kv*D/2] nibble-packed int4 (pack order
+    (j, j+D/2) -> byte j per head, ops/int4.quantize_weight4 convention);
+    k_scale/v_scale: [layers, B, n_kv, L] bf16 per-(token, kv-head) scales;
+    key_mask: [B, L] bool with L % block == 0 (callers round the cache up;
+    masked slots are free) and at least one True inside the first block of
+    every row (see decode_attention). `layer` (static) selects the cache
+    layer inside the block index map — pre-slicing would materialize the
+    slice as a custom-call operand copy. Returns [B, H*D] in q.dtype."""
+    b, hd = q.shape
+    l = k_cache.shape[2]
+    d = head_dim
+    h = hd // d
+    kd = k_cache.shape[3]
+    assert kd == n_kv * (d // 2 if pack4 else d), (kd, n_kv, d, pack4)
+    assert k_scale.shape[-2:] == (n_kv, l), (k_scale.shape, n_kv, l)
+    bl = min(block, l)
+    assert l % bl == 0, (l, bl)
+    scale = 1.0 / math.sqrt(d)
+    mask = key_mask.astype(jnp.int32)[:, None]     # [B, 1, L]
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_q_kernel, h=h, n_kv=n_kv, d=d,
+                          scale=scale, pack4=pack4),
+        grid=(b, l // bl),
+        in_specs=[
+            pl.BlockSpec((None, 1, hd), lambda ib, jk: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, bl, kd),
+                         lambda ib, jk: (layer, ib, jk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, n_kv, bl),
+                         lambda ib, jk: (layer, ib, 0, jk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, bl, kd),
+                         lambda ib, jk: (layer, ib, jk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, n_kv, bl),
+                         lambda ib, jk: (layer, ib, 0, jk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, bl), lambda ib, jk: (ib, 0, jk),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 1, hd), lambda ib, jk: (ib, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q[:, None], k_cache, k_scale, v_cache, v_scale, mask)
+    return out[:, 0]
+

@@ -66,7 +66,7 @@ def parse_args(argv):
                         "reads and frees HBM for decode batch), 'int4x' "
                         "additionally packs fused-QKV + lm_head as int4")
     p.add_argument("--kv_cache", default="none",
-                   choices=["none", "int8", "int4"],
+                   choices=["none", "int8", "int4", "int8_flat", "int4_flat"],
                    help="quantized decode KV cache (per-row scales; the "
                         "scale-folded attention reads it without a "
                         "dequantized copy): int8 halves, int4 quarters the "
@@ -119,7 +119,7 @@ def build_config(args, seg_token_idx):
     if getattr(args, "fast", False):
         cfg = cfg.replace(fast_windowed_attention=True, fast_gelu=True)
     kv = getattr(args, "kv_cache", "none")
-    if kv in ("int8", "int4"):
+    if kv in ("int8", "int4", "int8_flat", "int4_flat"):
         cfg = cfg.replace(kv_quant_cache=kv)
     chunk = int(getattr(args, "sam_chunk", 0) or 0)
     if chunk:

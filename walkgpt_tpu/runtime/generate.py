@@ -58,8 +58,11 @@ class GenerateResult(NamedTuple):
 
 def _cache_len_axis(name: str, layout_flat: bool) -> int:
     """Length axis of a cache leaf: heads layout [Lyr,B,n_kv,T,D] -> 3
-    (scales [Lyr,B,n_kv,T,1] share it); flat layout [Lyr,B,T,KD] -> 2."""
-    return 2 if layout_flat else 3
+    (scales [Lyr,B,n_kv,T] share it); flat layout values [Lyr,B,T,KD] -> 2
+    but flat SCALES are [Lyr,B,n_kv,T] -> 3 (llm.init_kv_cache)."""
+    if layout_flat:
+        return 3 if name.endswith("_scale") else 2
+    return 3
 
 
 def _pad_cache_len(kv_cache, max_len: int):
@@ -71,9 +74,9 @@ def _pad_cache_len(kv_cache, max_len: int):
     1343 slots — the round-3 OOM/remat trigger for the 512-token budget);
     padding ONCE here costs a single cache-sized copy."""
     flat = kv_cache["k"].ndim == 4
-    ax = _cache_len_axis("k", flat)
     out = {}
     for name, buf in kv_cache.items():
+        ax = _cache_len_axis(name, flat)
         t = buf.shape[ax]
         if t == max_len:
             out[name] = buf
@@ -149,10 +152,15 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     max_len = t + max_new_tokens
     cache_dtype = inputs_embeds.dtype
     layout = "heads"
-    if kv_quant == "int8_flat":
-        # flat int8 cache + XLA block-diag decode attention: full-rate cache
-        # rows without custom-call overhead (llm._flat_quant_decode_attention)
-        layout, kv_quant = "flat", "int8"
+    if kv_quant in ("int8_flat", "int4_flat"):
+        # quantized flat cache + fused Pallas decode attention with in-VMEM
+        # dequant (ops/flash_attention.decode_attention_q): full-rate int8
+        # rows, or half the bytes again nibble-packed ("int4_flat"). The
+        # kernel grids over DECODE_BLOCK-sized length blocks — round the
+        # cache up; the masked slots are read but never attended.
+        from ..ops.flash_attention import DECODE_BLOCK
+        max_len = -(-max_len // DECODE_BLOCK) * DECODE_BLOCK
+        layout, kv_quant = "flat", kv_quant[:4]          # "int8" / "int4"
     elif cfg.fused_decode and cfg.pos_emb == "rope" and not kv_quant:
         # flat cache (fused Pallas decode attention) wants a block-multiple
         # length; the extra masked slots are free
