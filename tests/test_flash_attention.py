@@ -368,38 +368,42 @@ def test_decode_attention_q_matches_dequantized_mha():
     """decode_attention_q (int8 and packed-int4 flat cache, in-VMEM dequant
     + scale folding) == mha over the explicitly dequantized cache."""
     from walkgpt_tpu.ops.flash_attention import decode_attention_q
-    from walkgpt_tpu.models.llm import _quant_rows, _quant_pack4_rows
+    from walkgpt_tpu.models.llm import _quant_rows, _quant_pack4_flat
     b, h, n_kv, d, l = 2, 4, 2, 8, 16
     q = rand(b, h, d, seed=95)
     k = rand(b, l, n_kv, d, seed=96)
     v = rand(b, l, n_kv, d, seed=97)
     mask = jnp.arange(l)[None, :] < jnp.array([[5], [11]])
     rep = h // n_kv
+    kd = n_kv * d
     for pack4 in (False, True):
         if pack4:
-            kq, ks = _quant_pack4_rows(k)
-            vq, vs = _quant_pack4_rows(v)
-            # dequant reference: unpack nibbles back to [B, L, n_kv, D]
+            kq, ks = _quant_pack4_flat(k)        # [B, L, kd/2], [B, L, n_kv]
+            vq, vs = _quant_pack4_flat(v)
+
+            # dequant reference: global-halves unpack back to [B, L, n_kv, D]
             def unpack(z):
                 z32 = np.asarray(z).astype(np.int32)
                 lo = ((z32 << 28) >> 28).astype(np.float32)
                 hi = (z32 >> 4).astype(np.float32)
-                return np.concatenate([lo, hi], axis=-1)
-            kd_ref = unpack(kq) * np.asarray(ks, np.float32)
-            vd_ref = unpack(vq) * np.asarray(vs, np.float32)
-            width = n_kv * d // 2
+                return np.concatenate([lo, hi], axis=-1).reshape(
+                    z.shape[:-1] + (n_kv, d))
+            kd_ref = unpack(kq) * np.asarray(ks, np.float32)[..., None]
+            vd_ref = unpack(vq) * np.asarray(vs, np.float32)[..., None]
+            width = kd // 2
         else:
             kq, ks = _quant_rows(k, jnp.int8)
             vq, vs = _quant_rows(v, jnp.int8)
             kd_ref = np.asarray(kq, np.float32) * np.asarray(ks, np.float32)
             vd_ref = np.asarray(vq, np.float32) * np.asarray(vs, np.float32)
-            width = n_kv * d
+            ks, vs = ks[..., 0], vs[..., 0]
+            width = kd
         # buffers in cache layout: values [1, B, L, width] int8,
         # scales [1, B, n_kv, L]
         kbuf = jnp.asarray(kq).reshape(b, l, width)[None]
         vbuf = jnp.asarray(vq).reshape(b, l, width)[None]
-        ksb = jnp.asarray(ks)[..., 0].transpose(0, 2, 1)[None]
-        vsb = jnp.asarray(vs)[..., 0].transpose(0, 2, 1)[None]
+        ksb = jnp.asarray(ks).transpose(0, 2, 1)[None]
+        vsb = jnp.asarray(vs).transpose(0, 2, 1)[None]
         got = decode_attention_q(q.reshape(b, h * d), kbuf, ksb, vbuf, vsb,
                                  mask, n_kv=n_kv, head_dim=d, pack4=pack4,
                                  layer=0, block=8)

@@ -393,20 +393,24 @@ def _quant_rows(x: jnp.ndarray, qdt=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarray]
     return q, scale
 
 
-def _quant_pack4_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[..., D] -> (nibble-packed int8 [..., D/2], bf16 scale [..., 1]).
-    Per-row symmetric int4 (+-7 levels), divided by the ROUNDED bf16 scale
-    like _quant_rows; pack order (j, j+D/2) -> byte j — the
-    decode_attention_q kernel's lo/hi half-dim convention."""
+def _quant_pack4_flat(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., n_kv, D] -> (nibble-packed int8 [..., n_kv*D/2],
+    bf16 scale [..., n_kv]). Per-(row, kv-head) symmetric int4 (+-7
+    levels), divided by the ROUNDED bf16 scale like _quant_rows; packed in
+    GLOBAL-HALVES order on the flattened [n_kv*D] row — byte j holds flat
+    dims (j, j + n_kv*D/2) — so decode_attention_q's unpacked lo/hi planes
+    are contiguous lane slices (a per-head interleave would need an
+    in-kernel lane permutation of the query)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = (jnp.maximum(amax, 1e-8) / 7.0).astype(jnp.bfloat16)
     q = jnp.clip(jnp.round(xf / scale.astype(jnp.float32)), -7, 7
                  ).astype(jnp.int8)
-    d = x.shape[-1]
-    lo, hi = q[..., : d // 2], q[..., d // 2:]
+    kd = x.shape[-2] * x.shape[-1]
+    q = q.reshape(x.shape[:-2] + (kd,))
+    lo, hi = q[..., : kd // 2], q[..., kd // 2:]
     packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.int8)
-    return packed, scale
+    return packed, scale[..., 0]
 
 
 def _cache_kv(kv_cache: Params, i, dtype, attend_len: Optional[int] = None
@@ -538,19 +542,20 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
                     vt = v_new.transpose(0, 2, 1, 3)
                     width = new_cache["k"].shape[-1]
                     if width == hkv * dd // 2:          # nibble-packed int4
-                        kq, ks = _quant_pack4_rows(kt)
-                        vq, vs = _quant_pack4_rows(vt)
+                        kq, ks = _quant_pack4_flat(kt)  # ks [B, T, n_kv]
+                        vq, vs = _quant_pack4_flat(vt)
                     else:
                         kq, ks = _quant_rows(kt, jnp.int8)
                         vq, vs = _quant_rows(vt, jnp.int8)
+                        ks, vs = ks[..., 0], vs[..., 0]
                     new_cache["k"] = new_cache["k"].at[i, :, :t, :].set(
                         kq.reshape(bb, tt, width))
                     new_cache["v"] = new_cache["v"].at[i, :, :t, :].set(
                         vq.reshape(bb, tt, width))
                     new_cache["k_scale"] = new_cache["k_scale"].at[
-                        i, :, :, :t].set(ks[..., 0].transpose(0, 2, 1))
+                        i, :, :, :t].set(ks.transpose(0, 2, 1))
                     new_cache["v_scale"] = new_cache["v_scale"].at[
-                        i, :, :, :t].set(vs[..., 0].transpose(0, 2, 1))
+                        i, :, :, :t].set(vs.transpose(0, 2, 1))
                 else:
                     new_cache["k"] = new_cache["k"].at[i, :, :t, :].set(
                         flat(k_new).astype(dt))
@@ -731,11 +736,12 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 # (ops/flash_attention.decode_attention_q)
                 pack4 = kd == (cfg.num_kv_heads * cfg.head_dim) // 2
                 if pack4:
-                    kq, ksc = _quant_pack4_rows(k1[:, :, 0])  # [B,n_kv,D/2]
-                    vq, vsc = _quant_pack4_rows(v1[:, :, 0])
+                    kq, ksc = _quant_pack4_flat(k1[:, :, 0])  # [B, kd], [B, n_kv]
+                    vq, vsc = _quant_pack4_flat(v1[:, :, 0])
                 else:
                     kq, ksc = _quant_rows(k1[:, :, 0], jnp.int8)
                     vq, vsc = _quant_rows(v1[:, :, 0], jnp.int8)
+                    ksc, vsc = ksc[..., 0], vsc[..., 0]
 
                 def put_scale_flat(buf, val):
                     """val [B, n_kv] -> [layers, B, n_kv, L] scale slot."""
@@ -749,9 +755,9 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 out_cache["k"] = put_flat(out_cache["k"], kq.reshape(b, kd))
                 out_cache["v"] = put_flat(out_cache["v"], vq.reshape(b, kd))
                 out_cache["k_scale"] = put_scale_flat(out_cache["k_scale"],
-                                                      ksc[..., 0])
+                                                      ksc)
                 out_cache["v_scale"] = put_scale_flat(out_cache["v_scale"],
-                                                      vsc[..., 0])
+                                                      vsc)
                 from ..ops.flash_attention import decode_attention_q
                 att = decode_attention_q(
                     q[:, :, 0].reshape(b, cfg.num_heads * cfg.head_dim),

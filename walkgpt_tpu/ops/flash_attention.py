@@ -1239,8 +1239,30 @@ def _decode_attn_q_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
                           o_ref, m_s, l_s, acc_s,
                           *, h: int, n_kv: int, d: int, scale: float,
                           pack4: bool):
+    """All-heads banded-dot formulation. A per-head loop (2 tiny dots x
+    h heads x L/bl blocks x layers = ~8k dot issues per decode step at 7B)
+    measured 21 ms/step of pure dot-issue latency (2026-08-18); here every
+    block does O(n_rep) LARGE dots instead:
+
+      scores:  S_r = K_blk [bl, kd] @ Q_r^T [kd, n_kv]  where Q_r is the
+               BAND matrix holding query head kv*n_rep + r in lane block
+               kv*D (zeros elsewhere) — one MXU op for all kv heads; the
+               n_kv x FLOP redundancy is irrelevant at decode shapes.
+      scales:  per-(token, kv-head) k/v scales multiply S_r / fold into
+               P_r OUTSIDE the dots ([bl, n_kv] elementwise).
+      pv:      P_exp = P_r [bl, n_kv] @ R [n_kv, kd] (R = 0/1 band) expands
+               each head's softmax row across its value lanes; the
+               accumulation is then a sublane reduce of P_exp * V_blk.
+
+    int4 (pack4): cache rows pack GLOBAL halves — byte j holds flat dims
+    (j, j + kd/2) — so the unpacked lo/hi planes are contiguous lane
+    slices [0, kd/2) / [kd/2, kd) and every dot splits into two plain
+    half-width dots (no per-head interleave). Scales stay per (token,
+    kv-head) and fold post-dot, so the split is layout-only."""
     jk = pl.program_id(1)
     nb = pl.num_programs(1)
+    n_rep = h // n_kv
+    kd = n_kv * d
 
     @pl.when(jk == 0)
     def _init():
@@ -1252,64 +1274,92 @@ def _decode_attn_q_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
     v8 = v_ref[:]
     ks = ks_ref[:].astype(jnp.float32)             # [n_kv, bl]
     vs = vs_ref[:].astype(jnp.float32)
-    valid = mask_ref[:]                            # [1, bl] int32
-    n_rep = h // n_kv
-    dh = d // 2 if pack4 else d
+    valid = mask_ref[:]                            # [bl, 1] int32
+    bl = k8.shape[0]
 
-    def head_cols(z, kv_h):
-        return z[:, kv_h * dh:(kv_h + 1) * dh]
+    if pack4:
+        def unpack(z8):
+            z32 = z8.astype(jnp.int32)
+            lo = ((z32 << 28) >> 28).astype(jnp.bfloat16)
+            hi = (z32 >> 4).astype(jnp.bfloat16)
+            return lo, hi
+        klo, khi = unpack(k8)                      # [bl, kd/2] each
+        vlo, vhi = unpack(v8)
 
-    def unpack(z8):
-        z32 = z8.astype(jnp.int32)
-        lo = ((z32 << 28) >> 28).astype(jnp.bfloat16)
-        hi = (z32 >> 4).astype(jnp.bfloat16)
-        return lo, hi
+    # lane -> kv-head band helpers (static iota)
+    lane_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 1) // d
+    row_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 0)
+    band = lane_kv == row_kv                       # [n_kv, kd] 0/1
+    r_mat = band.astype(jnp.bfloat16)
 
-    for hh in range(h):
-        kv_h = hh // n_rep
-        q_h = q_ref[:, hh * d:(hh + 1) * d].astype(jnp.bfloat16)   # [1, d]
+    ks_t = ks.T                                    # [bl, n_kv]
+    vs_t = vs.T
+
+    for r in range(n_rep):
+        # bands of this pass's query heads: head kv*n_rep + r -> lane
+        # block kv*D
+        if n_rep == 1:
+            q_band = jnp.where(band, jnp.broadcast_to(
+                q_ref[:].astype(jnp.bfloat16), (n_kv, kd)), 0)
+        else:
+            # gather pass-r heads (kv*n_rep + r) into [n_kv, d] rows, tile
+            # across the lane blocks, band-mask: q_band[kv, kv*D+dd] =
+            # q[(kv*n_rep+r)*D + dd]
+            qr = q_ref[0].reshape(h, d)[r::n_rep].astype(jnp.bfloat16)
+            q_band = jnp.where(band,
+                               jnp.concatenate([qr] * n_kv, axis=1), 0)
         if pack4:
-            klo, khi = unpack(head_cols(k8, kv_h))                 # [bl, d/2]
-            s = jax.lax.dot_general(q_h[:, :dh], klo,
+            s = jax.lax.dot_general(klo, q_band[:, : kd // 2],
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s + jax.lax.dot_general(q_h[:, dh:], khi,
+            s = s + jax.lax.dot_general(khi, q_band[:, kd // 2:],
                                         (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
         else:
-            k_h = head_cols(k8, kv_h).astype(jnp.bfloat16)
-            s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+            s = jax.lax.dot_general(k8.astype(jnp.bfloat16), q_band,
+                                    (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-        s = s * (ks[kv_h:kv_h + 1, :] * scale)                     # [1, bl]
+        s = s * (ks_t * scale)                     # [bl, n_kv]
         s = jnp.where(valid != 0, s, NEG_INF)
-        m_old = m_s[hh:hh + 1, 0:1]
-        l_old = l_s[hh:hh + 1, 0:1]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.where(valid != 0, jnp.exp(s - m_new), 0.0)         # [1, bl]
-        pv = (p * vs[kv_h:kv_h + 1, :]).astype(jnp.bfloat16)
+        m_old = m_s[r:r + 1, :n_kv]                # [1, n_kv]
+        l_old = l_s[r:r + 1, :n_kv]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=0, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)             # [1, n_kv]
+        p = jnp.where(valid != 0, jnp.exp(s - m_new), 0.0)   # [bl, n_kv]
+        l_s[r:r + 1, :n_kv] = l_old * alpha + jnp.sum(p, axis=0,
+                                                      keepdims=True)
+        m_s[r:r + 1, :n_kv] = m_new
+        p_s = (p * vs_t).astype(jnp.bfloat16)
+        p_exp = jax.lax.dot_general(p_s, r_mat, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
         if pack4:
-            vlo, vhi = unpack(head_cols(v8, kv_h))
-            out_lo = jax.lax.dot_general(pv, vlo, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-            out_hi = jax.lax.dot_general(pv, vhi, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-            acc_s[hh:hh + 1, :dh] = acc_s[hh:hh + 1, :dh] * alpha + out_lo
-            acc_s[hh:hh + 1, dh:] = acc_s[hh:hh + 1, dh:] * alpha + out_hi
+            y = jnp.concatenate([
+                jnp.sum(p_exp[:, : kd // 2] * vlo.astype(jnp.float32), 0,
+                        keepdims=True),
+                jnp.sum(p_exp[:, kd // 2:] * vhi.astype(jnp.float32), 0,
+                        keepdims=True)], axis=1)    # [1, kd]
         else:
-            v_h = head_cols(v8, kv_h).astype(jnp.bfloat16)
-            out_h = jax.lax.dot_general(pv, v_h, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            acc_s[hh:hh + 1, :] = acc_s[hh:hh + 1, :] * alpha + out_h
-        m_s[hh:hh + 1, 0:1] = m_new
-        l_s[hh:hh + 1, 0:1] = l_old * alpha + jnp.sum(p, axis=1, keepdims=True)
+            y = jnp.sum(p_exp * v8.astype(jnp.float32), 0, keepdims=True)
+        alpha_exp = jax.lax.dot_general(
+            alpha.astype(jnp.bfloat16), r_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # [1, kd]
+        acc_s[r:r + 1, :] = acc_s[r:r + 1, :] * alpha_exp + y
 
     @pl.when(jk == nb - 1)
     def _finish():
-        for hh in range(h):
-            o_ref[:, hh * d:(hh + 1) * d] = (
-                acc_s[hh:hh + 1, :] /
-                jnp.maximum(l_s[hh:hh + 1, 0:1], 1e-30)).astype(o_ref.dtype)
+        for r in range(n_rep):
+            l_exp = jax.lax.dot_general(
+                l_s[r:r + 1, :n_kv].astype(jnp.bfloat16), r_mat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            yr = acc_s[r:r + 1, :] / jnp.maximum(l_exp, 1e-30)   # [1, kd]
+            if n_rep == 1:
+                o_ref[:] = yr.astype(o_ref.dtype)
+            else:
+                for kv in range(n_kv):
+                    hh = kv * n_rep + r
+                    o_ref[:, hh * d:(hh + 1) * d] = yr[
+                        :, kv * d:(kv + 1) * d].astype(o_ref.dtype)
 
 
 def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
@@ -1318,8 +1368,10 @@ def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
     """One decode step of attention over a QUANTIZED flat cache.
 
     q: [B, H*D]; k_cache/v_cache: [layers, B, L, n_kv*D] int8, or with
-    pack4=True [layers, B, L, n_kv*D/2] nibble-packed int4 (pack order
-    (j, j+D/2) -> byte j per head, ops/int4.quantize_weight4 convention);
+    pack4=True [layers, B, L, n_kv*D/2] nibble-packed int4 in GLOBAL-HALVES
+    order — byte j holds flat dims (j, j + n_kv*D/2)
+    (models/llm._quant_pack4_flat), so the kernel's unpacked lo/hi planes
+    are contiguous lane slices;
     k_scale/v_scale: [layers, B, n_kv, L] bf16 per-(token, kv-head) scales;
     key_mask: [B, L] bool with L % block == 0 (callers round the cache up;
     masked slots are free) and at least one True inside the first block of
@@ -1335,8 +1387,9 @@ def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
     assert k_scale.shape[-2:] == (n_kv, l), (k_scale.shape, n_kv, l)
     bl = min(block, l)
     assert l % bl == 0, (l, bl)
+    n_rep = h // n_kv
     scale = 1.0 / math.sqrt(d)
-    mask = key_mask.astype(jnp.int32)[:, None]     # [B, 1, L]
+    mask = key_mask.astype(jnp.int32)[:, :, None]  # [B, L, 1] (sublane-major)
     out = pl.pallas_call(
         functools.partial(_decode_attn_q_kernel, h=h, n_kv=n_kv, d=d,
                           scale=scale, pack4=pack4),
@@ -1356,16 +1409,16 @@ def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
             pl.BlockSpec((None, None, n_kv, bl),
                          lambda ib, jk: (layer, ib, 0, jk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, bl), lambda ib, jk: (ib, 0, jk),
+            pl.BlockSpec((None, bl, 1), lambda ib, jk: (ib, jk, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, 1, hd), lambda ib, jk: (ib, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((h, 128), jnp.float32),
-            pltpu.VMEM((h, 128), jnp.float32),
-            pltpu.VMEM((h, d), jnp.float32),
+            pltpu.VMEM((n_rep, n_kv), jnp.float32),
+            pltpu.VMEM((n_rep, n_kv), jnp.float32),
+            pltpu.VMEM((n_rep, n_kv * d), jnp.float32),
         ],
         interpret=_interpret(),
     )(q[:, None], k_cache, k_scale, v_cache, v_scale, mask)
