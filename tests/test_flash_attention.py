@@ -416,6 +416,47 @@ def test_decode_attention_q_matches_dequantized_mha():
                                    err_msg=f"pack4={pack4}")
 
 
+def test_decode_attention_q_valid_len_early_exit():
+    """valid_len (traced) clamps streaming to ceil(valid_len/block) blocks;
+    blocks past it must not contribute even if key_mask marked them valid."""
+    from walkgpt_tpu.ops.flash_attention import decode_attention_q
+    from walkgpt_tpu.models.llm import _quant_rows
+    b, h, n_kv, d, l = 2, 4, 2, 8, 32
+    q = rand(b, h, d, seed=98)
+    k = rand(b, l, n_kv, d, seed=99)
+    v = rand(b, l, n_kv, d, seed=100)
+    kq, ks = _quant_rows(k, jnp.int8)
+    vq, vs = _quant_rows(v, jnp.int8)
+    kbuf = jnp.asarray(kq).reshape(b, l, n_kv * d)[None]
+    vbuf = jnp.asarray(vq).reshape(b, l, n_kv * d)[None]
+    ksb = jnp.asarray(ks[..., 0]).transpose(0, 2, 1)[None]
+    vsb = jnp.asarray(vs[..., 0]).transpose(0, 2, 1)[None]
+    lens = jnp.array([[5], [11]])
+    mask = jnp.arange(l)[None, :] < lens
+
+    @jax.jit
+    def run(vl):
+        return decode_attention_q(q.reshape(b, h * d), kbuf, ksb, vbuf, vsb,
+                                  mask, n_kv=n_kv, head_dim=d, layer=0,
+                                  block=8, valid_len=vl)
+
+    full = run(jnp.int32(l))            # streams every block
+    early = run(jnp.int32(11))          # blocks >= ceil(11/8)=2 skipped
+    np.testing.assert_allclose(np.asarray(full), np.asarray(early),
+                               rtol=1e-5, atol=1e-5)
+    # poison the cache beyond valid_len AND mark it key-valid: with
+    # valid_len=11 the poisoned tail must still be unread
+    kbuf2 = kbuf.at[:, :, 16:].set(127)
+    vbuf2 = vbuf.at[:, :, 16:].set(127)
+    mask2 = mask | (jnp.arange(l)[None, :] >= 16)
+
+    got = jax.jit(lambda: decode_attention_q(
+        q.reshape(b, h * d), kbuf2, ksb, vbuf2, vsb, mask2, n_kv=n_kv,
+        head_dim=d, layer=0, block=8, valid_len=jnp.int32(11)))()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_greedy_generate_fused_decode_parity():
     """fused_decode=True (flat cache + Pallas decode attention) emits the
     same tokens as the heads-layout path."""

@@ -648,8 +648,13 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 key_mask: jnp.ndarray,
                 write_slot: Optional[jnp.ndarray] = None,
                 attend_len: Optional[int] = None,
+                valid_len: Optional[jnp.ndarray] = None,
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step.
+
+    valid_len: optional TRACED int32 scalar — no cache slot at or beyond it
+    is valid this step (flat quantized caches only: the Pallas kernel skips
+    whole length blocks past it; see decode_attention_q).
 
     inputs_embeds: [B, 1, H]; cache_len: [B] int32 — logical position per row
     (drives rope); key_mask: [B, attend_len or L_max] bool — valid cache
@@ -764,7 +769,7 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                     out_cache["k"], out_cache["k_scale"],
                     out_cache["v"], out_cache["v_scale"], key_mask,
                     n_kv=cfg.num_kv_heads, head_dim=cfg.head_dim,
-                    pack4=pack4, layer=i)
+                    pack4=pack4, layer=i, valid_len=valid_len)
                 x = x + nn.linear(layer["attn"]["o"], att[:, None])
                 x = x + _mlp(layer["mlp"],
                              _norm(layer["post_norm"], x, cfg), cfg)

@@ -1225,18 +1225,18 @@ def decode_attention(q, k_cache, v_cache, key_mask, *, n_kv: int,
 #     35.4 s/batch16 at 7B (2026-08-18), 3x WORSE than heads-layout.
 # This kernel reads the flat [layers, B, L, n_kv*D] int8 rows (4-8 KB,
 # full HBM rate, HALF the bf16 bytes) and dequantizes in VMEM: the
-# per-(token, kv-head) scales fold into the score row (k) and the softmax
-# row (v) OUTSIDE the dots, so the MXU sees plain bf16 nibble/byte values.
-# "pack4" halves the bytes again: two int4 values per byte, packed along
-# the head dim as (j, j+D/2) -> byte j (same convention as ops/int4.py);
-# the score/PV dots split into lo/hi half-dim pairs so no concatenate is
-# ever materialized. Scales live in [layers, B, n_kv, L] so the kernel's
-# per-head row slice is a native [1, bl] lane vector (the [.., L, n_kv]
-# order would lane-pad n_kv to 128 = 4x the scale bytes, and need an
-# in-kernel transpose).
+# per-(token, kv-head) scales fold into the scores (k) and the softmax
+# rows (v) OUTSIDE the dots, so the MXU sees plain bf16 byte/nibble
+# values. "pack4" halves the bytes again: two int4 values per byte in
+# GLOBAL-HALVES order (byte j = flat dims (j, j+kd/2),
+# models/llm._quant_pack4_flat), so the unpacked lo/hi planes are
+# contiguous lane slices and every dot splits into two half-width dots.
+# Scales live in [layers, B, n_kv, L]: the [.., L, n_kv] order would
+# lane-pad n_kv 32 -> 128 (4x the scale bytes) and need an in-kernel
+# transpose.
 
-def _decode_attn_q_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
-                          o_ref, m_s, l_s, acc_s,
+def _decode_attn_q_kernel(nvb_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                          mask_ref, o_ref, m_s, l_s, acc_s,
                           *, h: int, n_kv: int, d: int, scale: float,
                           pack4: bool):
     """All-heads banded-dot formulation. A per-head loop (2 tiny dots x
@@ -1250,9 +1250,10 @@ def _decode_attn_q_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
                n_kv x FLOP redundancy is irrelevant at decode shapes.
       scales:  per-(token, kv-head) k/v scales multiply S_r / fold into
                P_r OUTSIDE the dots ([bl, n_kv] elementwise).
-      pv:      P_exp = P_r [bl, n_kv] @ R [n_kv, kd] (R = 0/1 band) expands
-               each head's softmax row across its value lanes; the
-               accumulation is then a sublane reduce of P_exp * V_blk.
+      pv:      Y_full = P_r^T [n_kv, bl] @ V_blk [bl, kd] (one MXU op; the
+               off-band columns are computed-and-discarded), then the band
+               diagonal Y_full[kv(j), j] extracts via band-mask + sublane
+               reduce of the small [n_kv, kd] product.
 
     int4 (pack4): cache rows pack GLOBAL halves — byte j holds flat dims
     (j, j + kd/2) — so the unpacked lo/hi planes are contiguous lane
@@ -1270,12 +1271,50 @@ def _decode_attn_q_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
         l_s[:] = jnp.zeros_like(l_s)
         acc_s[:] = jnp.zeros_like(acc_s)
 
+    # blocks at or past the valid length hold no attendable keys: the
+    # index maps clamp them to the last valid block (same block index ->
+    # the Mosaic pipeline skips the re-fetch DMA) and the body is skipped.
+    # Early decode steps then stream only ceil(valid/bl) blocks instead of
+    # the whole rounded-up cache.
+    @pl.when(jk < nvb_ref[0])
+    def _active():
+        _decode_attn_q_block(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
+                             m_s, l_s, acc_s, h=h, n_kv=n_kv, d=d,
+                             scale=scale, pack4=pack4)
+
+    @pl.when(jk == nb - 1)
+    def _finish():
+        n_rep = h // n_kv
+        kd = n_kv * d
+        lane_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 1) // d
+        row_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 0)
+        r_mat = (lane_kv == row_kv).astype(jnp.bfloat16)
+        for r in range(n_rep):
+            l_exp = jax.lax.dot_general(
+                l_s[r:r + 1, :n_kv].astype(jnp.bfloat16), r_mat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            yr = acc_s[r:r + 1, :] / jnp.maximum(l_exp, 1e-30)   # [1, kd]
+            if n_rep == 1:
+                o_ref[:] = yr.astype(o_ref.dtype)
+            else:
+                for kv in range(n_kv):
+                    hh = kv * n_rep + r
+                    o_ref[:, hh * d:(hh + 1) * d] = yr[
+                        :, kv * d:(kv + 1) * d].astype(o_ref.dtype)
+
+
+def _decode_attn_q_block(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
+                         m_s, l_s, acc_s,
+                         *, h: int, n_kv: int, d: int, scale: float,
+                         pack4: bool):
+    n_rep = h // n_kv
+    kd = n_kv * d
     k8 = k_ref[:]                                  # [bl, kd(/2)] int8
     v8 = v_ref[:]
     ks = ks_ref[:].astype(jnp.float32)             # [n_kv, bl]
     vs = vs_ref[:].astype(jnp.float32)
     valid = mask_ref[:]                            # [bl, 1] int32
-    bl = k8.shape[0]
 
     if pack4:
         def unpack(z8):
@@ -1286,11 +1325,14 @@ def _decode_attn_q_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
         klo, khi = unpack(k8)                      # [bl, kd/2] each
         vlo, vhi = unpack(v8)
 
-    # lane -> kv-head band helpers (static iota)
+    # lane -> kv-head band helpers (static iota). Arithmetic 0/1 masks, not
+    # boolean selects: Mosaic cannot relayout a [n_kv, kd] i1 vector between
+    # the (8,128) compare tiling and the (16,128) bf16-select tiling
+    # ("Invalid relayout ... vector<32x4096xi1>", 2026-08-18).
     lane_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 1) // d
     row_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 0)
-    band = lane_kv == row_kv                       # [n_kv, kd] 0/1
-    r_mat = band.astype(jnp.bfloat16)
+    r_mat = (lane_kv == row_kv).astype(jnp.bfloat16)   # [n_kv, kd] 0/1
+    band_f32 = r_mat.astype(jnp.float32)
 
     ks_t = ks.T                                    # [bl, n_kv]
     vs_t = vs.T
@@ -1299,15 +1341,14 @@ def _decode_attn_q_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
         # bands of this pass's query heads: head kv*n_rep + r -> lane
         # block kv*D
         if n_rep == 1:
-            q_band = jnp.where(band, jnp.broadcast_to(
-                q_ref[:].astype(jnp.bfloat16), (n_kv, kd)), 0)
+            q_band = jnp.broadcast_to(q_ref[:].astype(jnp.bfloat16),
+                                      (n_kv, kd)) * r_mat
         else:
             # gather pass-r heads (kv*n_rep + r) into [n_kv, d] rows, tile
             # across the lane blocks, band-mask: q_band[kv, kv*D+dd] =
             # q[(kv*n_rep+r)*D + dd]
             qr = q_ref[0].reshape(h, d)[r::n_rep].astype(jnp.bfloat16)
-            q_band = jnp.where(band,
-                               jnp.concatenate([qr] * n_kv, axis=1), 0)
+            q_band = jnp.concatenate([qr] * n_kv, axis=1) * r_mat
         if pack4:
             s = jax.lax.dot_general(klo, q_band[:, : kd // 2],
                                     (((1,), (1,)), ((), ())),
@@ -1330,41 +1371,28 @@ def _decode_attn_q_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
                                                       keepdims=True)
         m_s[r:r + 1, :n_kv] = m_new
         p_s = (p * vs_t).astype(jnp.bfloat16)
-        p_exp = jax.lax.dot_general(p_s, r_mat, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
         if pack4:
-            y = jnp.concatenate([
-                jnp.sum(p_exp[:, : kd // 2] * vlo.astype(jnp.float32), 0,
-                        keepdims=True),
-                jnp.sum(p_exp[:, kd // 2:] * vhi.astype(jnp.float32), 0,
-                        keepdims=True)], axis=1)    # [1, kd]
+            y_full = jnp.concatenate([
+                jax.lax.dot_general(p_s, vlo, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32),
+                jax.lax.dot_general(p_s, vhi, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)],
+                axis=1)                             # [n_kv, kd]
         else:
-            y = jnp.sum(p_exp * v8.astype(jnp.float32), 0, keepdims=True)
+            y_full = jax.lax.dot_general(
+                p_s, v8.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y = jnp.sum(y_full * band_f32, 0, keepdims=True)             # [1, kd]
         alpha_exp = jax.lax.dot_general(
             alpha.astype(jnp.bfloat16), r_mat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # [1, kd]
         acc_s[r:r + 1, :] = acc_s[r:r + 1, :] * alpha_exp + y
 
-    @pl.when(jk == nb - 1)
-    def _finish():
-        for r in range(n_rep):
-            l_exp = jax.lax.dot_general(
-                l_s[r:r + 1, :n_kv].astype(jnp.bfloat16), r_mat,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            yr = acc_s[r:r + 1, :] / jnp.maximum(l_exp, 1e-30)   # [1, kd]
-            if n_rep == 1:
-                o_ref[:] = yr.astype(o_ref.dtype)
-            else:
-                for kv in range(n_kv):
-                    hh = kv * n_rep + r
-                    o_ref[:, hh * d:(hh + 1) * d] = yr[
-                        :, kv * d:(kv + 1) * d].astype(o_ref.dtype)
-
 
 def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
                        n_kv: int, head_dim: int, pack4: bool = False,
-                       layer: int = 0, block: int = DECODE_BLOCK):
+                       layer: int = 0, block: int = DECODE_BLOCK,
+                       valid_len=None):
     """One decode step of attention over a QUANTIZED flat cache.
 
     q: [B, H*D]; k_cache/v_cache: [layers, B, L, n_kv*D] int8, or with
@@ -1377,7 +1405,13 @@ def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
     masked slots are free) and at least one True inside the first block of
     every row (see decode_attention). `layer` (static) selects the cache
     layer inside the block index map — pre-slicing would materialize the
-    slice as a custom-call operand copy. Returns [B, H*D] in q.dtype."""
+    slice as a custom-call operand copy.
+    valid_len: optional traced int32 scalar — no key at or beyond it is
+    valid (greedy decode: prompt_max + step + 1). Length blocks past it
+    clamp to the last valid block in the index maps (the Mosaic pipeline
+    skips the duplicate fetch) and their compute is skipped, so early
+    steps stream only ceil(valid_len/block) blocks.
+    Returns [B, H*D] in q.dtype."""
     b, hd = q.shape
     l = k_cache.shape[2]
     d = head_dim
@@ -1390,37 +1424,52 @@ def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
     n_rep = h // n_kv
     scale = 1.0 / math.sqrt(d)
     mask = key_mask.astype(jnp.int32)[:, :, None]  # [B, L, 1] (sublane-major)
+    if valid_len is None:
+        nvb = jnp.full((1,), l // bl, jnp.int32)
+    else:
+        nvb = jnp.minimum(-(-jnp.asarray(valid_len, jnp.int32) // bl),
+                          l // bl).reshape(1)
+
+    def kblk(ib, jk, nvb_ref):
+        return (layer, ib, jnp.minimum(jk, nvb_ref[0] - 1), 0)
+
+    def sblk(ib, jk, nvb_ref):
+        return (layer, ib, 0, jnp.minimum(jk, nvb_ref[0] - 1))
+
     out = pl.pallas_call(
         functools.partial(_decode_attn_q_kernel, h=h, n_kv=n_kv, d=d,
                           scale=scale, pack4=pack4),
-        grid=(b, l // bl),
-        in_specs=[
-            pl.BlockSpec((None, 1, hd), lambda ib, jk: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, bl, kd),
-                         lambda ib, jk: (layer, ib, jk, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, n_kv, bl),
-                         lambda ib, jk: (layer, ib, 0, jk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, bl, kd),
-                         lambda ib, jk: (layer, ib, jk, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, n_kv, bl),
-                         lambda ib, jk: (layer, ib, 0, jk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, bl, 1), lambda ib, jk: (ib, jk, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, 1, hd), lambda ib, jk: (ib, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, l // bl),
+            in_specs=[
+                pl.BlockSpec((None, 1, hd),
+                             lambda ib, jk, nvb_ref: (ib, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, bl, kd), kblk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, n_kv, bl), sblk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, bl, kd), kblk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, n_kv, bl), sblk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, bl, 1),
+                             lambda ib, jk, nvb_ref:
+                             (ib, jnp.minimum(jk, nvb_ref[0] - 1), 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, 1, hd),
+                                   lambda ib, jk, nvb_ref: (ib, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((n_rep, n_kv), jnp.float32),
+                pltpu.VMEM((n_rep, n_kv), jnp.float32),
+                pltpu.VMEM((n_rep, n_kv * d), jnp.float32),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n_rep, n_kv), jnp.float32),
-            pltpu.VMEM((n_rep, n_kv), jnp.float32),
-            pltpu.VMEM((n_rep, n_kv * d), jnp.float32),
-        ],
         interpret=_interpret(),
-    )(q[:, None], k_cache, k_scale, v_cache, v_scale, mask)
+    )(nvb, q[:, None], k_cache, k_scale, v_cache, v_scale, mask)
     return out[:, 0]
 

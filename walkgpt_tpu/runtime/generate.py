@@ -236,7 +236,8 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
             hidden, kv = llm.decode_step(
                 params, cfg, kv, x, cache_len, key_mask,
                 write_slot=base + s,
-                attend_len=attend_len if attend_len < max_len else None)
+                attend_len=attend_len if attend_len < max_len else None,
+                valid_len=base + s + 1)
             nxt = pick(hidden[:, 0])
             nxt = jnp.where(done, jnp.int32(pad_id), nxt)
             return (kv, nxt, hidden[:, 0], cache_len + 1, done), \
