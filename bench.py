@@ -113,11 +113,12 @@ def main():
     # SAM->MSQP tokens (evaluation_walkgpt.py:535-577), CLIP is a parity-only
     # alternate stream — no reason to hold its weights in HBM here.
     import dataclasses
-    # int8 KV cache halves decode-time cache reads (scale-folded attention
-    # dots straight over the int8 buffers); measured win at 7B/13B scale,
-    # loss at 1B (act-quant VPU overhead vs small cache)
+    # Flat packed-int4 KV cache + the Pallas banded-dot decode kernel is the
+    # measured 7B/13B winner (v5e, 7B batch 20: 15.30 ms/step vs heads-int8
+    # 19.55 — and e2e 2.15 img/s vs 1.00); still a loss at 1B (small cache,
+    # act-quant VPU overhead dominates).
     kv = os.environ.get("BENCH_KV",
-                        "int8" if model_kind in ("7b", "13b") else "")
+                        "int4_flat" if model_kind in ("7b", "13b") else "")
     cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True,
                               fast_gelu=True,
                               kv_quant_cache=kv if kv in ("int8", "int4",
