@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -1111,7 +1112,11 @@ sam_window_attention_packed.defvjp(_win_packed_vjp_fwd, _win_packed_vjp_bwd)
 # Kept as an opt-in (LLMConfig.fused_decode) for platforms with cheaper
 # custom-call dispatch; do not enable on tunneled v5e.
 
-DECODE_BLOCK = 256
+# Length-block size for the decode attention kernels. Callers round their
+# cache allocation up to a multiple of this (runtime/generate.py), so the
+# env override is an ablation knob: smaller blocks tighten valid_len
+# early-exit granularity, larger blocks lengthen each DMA.
+DECODE_BLOCK = int(os.environ.get("WALKGPT_DECODE_BLOCK", "256"))
 
 
 def _decode_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s,
