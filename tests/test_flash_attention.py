@@ -364,9 +364,11 @@ def test_decode_attention_matches_mha():
                                np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def test_decode_attention_q_matches_dequantized_mha():
+@pytest.mark.parametrize("qdot8", [False, True])
+def test_decode_attention_q_matches_dequantized_mha(qdot8):
     """decode_attention_q (int8 and packed-int4 flat cache, in-VMEM dequant
-    + scale folding) == mha over the explicitly dequantized cache."""
+    + scale folding) == mha over the explicitly dequantized cache — with
+    both the bf16 and the int8-MXU (per-head-quantized q) scores dots."""
     from walkgpt_tpu.ops.flash_attention import decode_attention_q
     from walkgpt_tpu.models.llm import _quant_rows, _quant_pack4_flat
     b, h, n_kv, d, l = 2, 4, 2, 8, 16

@@ -446,14 +446,18 @@ def test_chunked_prefill_matches_full():
                                    rtol=2e-5, atol=2e-5)
 
 
-def test_int8_flat_cache_matches_heads_layout():
+def test_int8_flat_cache_matches_heads_layout(monkeypatch):
     """kv_quant='int8_flat' (flat rows + the fused Pallas decode-attention
     kernel with in-VMEM dequant) produces the same decode trajectory as the
     heads-layout int8 cache, for MHA and GQA configs — both paths quantize
-    on the identical per-(token, kv-head) grid."""
+    on the identical per-(token, kv-head) grid. Exact equality holds with
+    the bf16 scores dot; the default int8-MXU scores dot (DECODE_QDOT8)
+    additionally quantizes q per head, so it is checked to TRACK the heads
+    trajectory rather than equal it."""
     import numpy as np
     from walkgpt_tpu.core.config import LLAMA_TINY, LLMConfig
     from walkgpt_tpu.models import llm
+    from walkgpt_tpu.ops import flash_attention as fa
     from walkgpt_tpu.runtime.generate import greedy_generate
 
     gqa = LLMConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
@@ -466,6 +470,7 @@ def test_int8_flat_cache_matches_heads_layout():
         x = llm.embed(params, ids)
         heads = greedy_generate(params, cfg, x, mask, max_new_tokens=8,
                                 eos_id=2, kv_quant="int8")
+        monkeypatch.setattr(fa, "DECODE_QDOT8", False)
         flat = greedy_generate(params, cfg, x, mask, max_new_tokens=8,
                                eos_id=2, kv_quant="int8_flat")
         np.testing.assert_array_equal(np.asarray(heads.tokens),
@@ -476,6 +481,14 @@ def test_int8_flat_cache_matches_heads_layout():
         # same quant grid; the kernel's bf16 dequant dots + online softmax
         # reassociate vs the heads path's full-row f32 softmax
         assert rel < 5e-3, rel
+        monkeypatch.setattr(fa, "DECODE_QDOT8", True)
+        flat8 = greedy_generate(params, cfg, x, mask, max_new_tokens=8,
+                                eos_id=2, kv_quant="int8_flat")
+        a8 = np.asarray(flat8.pred_hidden, np.float32)
+        rel8 = np.abs(a8[:, 0] - b[:, 0]).max() / (np.abs(b[:, 0]).max()
+                                                   + 1e-9)
+        assert rel8 < 2e-2, rel8
+        assert np.isfinite(a8).all()
 
 
 def test_int4_flat_cache_decodes_close_to_fp():
