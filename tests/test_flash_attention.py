@@ -479,3 +479,66 @@ def test_greedy_generate_fused_decode_parity():
     np.testing.assert_allclose(np.asarray(ref.pred_hidden),
                                np.asarray(got.pred_hidden), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_fused_layer_tail_matches_unfused():
+    """ops/fused_layer.fused_layer_tail (one-launch attention + o-proj +
+    residual + RMSNorm + int4 MLP; opt-in EXPERIMENT, measured slower than
+    the unfused path on v5e) matches the unfused int4x decode sequence."""
+    from walkgpt_tpu.core import nn
+    from walkgpt_tpu.models.llm import _quant_rows, _quant_pack4_flat
+    from walkgpt_tpu.ops import int4 as int4_lib
+    from walkgpt_tpu.ops import quant as quant_lib
+    from walkgpt_tpu.ops.flash_attention import banded_q8, decode_attention_q
+    from walkgpt_tpu.ops.fused_layer import fused_layer_tail
+    from walkgpt_tpu.ops.int4 import fused_mlp_int4
+
+    rng = np.random.RandomState(0)
+    b, h, n_kv, d, l = 2, 2, 2, 8, 16
+    hd = h * d
+    i_dim = 32
+    x = jnp.asarray(rng.randn(b, hd) * 0.1, jnp.bfloat16)
+    q = jnp.asarray(rng.randn(b, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, n_kv, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, n_kv, d), jnp.float32)
+    mask = jnp.arange(l)[None, :] < jnp.array([[5], [11]])
+    o_p = quant_lib.convert_proj(
+        {"w": jnp.asarray(rng.randn(hd, hd) * 0.05, jnp.float32)}, True)
+    pn = jnp.asarray(1.0 + 0.1 * rng.randn(hd), jnp.float32)
+    mlp_p = {
+        "gate": int4_lib.quantize_weight4(
+            jnp.asarray(rng.randn(hd, i_dim) * 0.05, jnp.float32)),
+        "up": int4_lib.quantize_weight4(
+            jnp.asarray(rng.randn(hd, i_dim) * 0.05, jnp.float32)),
+        "down": int4_lib.pack_down4(
+            jnp.asarray(rng.randn(i_dim, hd) * 0.05, jnp.float32)),
+    }
+    for pack4 in (False, True):
+        if pack4:
+            kq, ks = _quant_pack4_flat(k)
+            vq, vs = _quant_pack4_flat(v)
+            width = n_kv * d // 2
+        else:
+            kq, ks = _quant_rows(k, jnp.int8)
+            vq, vs = _quant_rows(v, jnp.int8)
+            ks, vs = ks[..., 0], vs[..., 0]
+            width = n_kv * d
+        kbuf = jnp.asarray(kq).reshape(b, l, width)[None]
+        vbuf = jnp.asarray(vq).reshape(b, l, width)[None]
+        ksb = jnp.asarray(ks).transpose(0, 2, 1)[None]
+        vsb = jnp.asarray(vs).transpose(0, 2, 1)[None]
+        att = decode_attention_q(
+            q.reshape(b, hd).astype(jnp.bfloat16), kbuf, ksb, vbuf, vsb,
+            mask, n_kv=n_kv, head_dim=d, pack4=pack4, layer=0, block=8,
+            qdot_int8=True)
+        x2 = x + nn.linear(o_p, att)
+        hn = nn.rms_norm({"scale": pn}, x2, eps=1e-6)
+        y_ref = x2 + fused_mlp_int4(mlp_p, hn, "silu").astype(x.dtype)
+        qb8, qs8 = banded_q8(q.reshape(b, hd), n_kv=n_kv, head_dim=d)
+        y = fused_layer_tail(x, qb8, qs8, kbuf, ksb, vbuf, vsb, mask, o_p,
+                             pn, mlp_p, n_kv=n_kv, head_dim=d, pack4=pack4,
+                             layer=0, act="silu", norm_eps=1e-6, block=8)
+        a = np.asarray(y, np.float32)
+        r = np.asarray(y_ref, np.float32)
+        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-9)
+        assert rel < 2e-2, (pack4, rel)

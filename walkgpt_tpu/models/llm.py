@@ -763,6 +763,26 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                                                       ksc)
                 out_cache["v_scale"] = put_scale_flat(out_cache["v_scale"],
                                                       vsc)
+                from ..ops import fused_layer as fl
+                if fl.FUSED_LAYER and fl.layer_tail_supported(layer, cfg):
+                    # ONE pallas launch for attention + o-proj + residual +
+                    # RMSNorm + int4 MLP (ops/fused_layer.py) — launch-count
+                    # is a first-order decode cost on this platform
+                    from ..ops.flash_attention import banded_q8
+                    qb8, qs8 = banded_q8(
+                        q[:, :, 0].reshape(b, cfg.num_heads * cfg.head_dim),
+                        n_kv=cfg.num_kv_heads, head_dim=cfg.head_dim)
+                    y = fl.fused_layer_tail(
+                        x[:, 0], qb8, qs8,
+                        out_cache["k"], out_cache["k_scale"],
+                        out_cache["v"], out_cache["v_scale"], key_mask,
+                        layer["attn"]["o"], layer["post_norm"]["scale"],
+                        layer["mlp"], n_kv=cfg.num_kv_heads,
+                        head_dim=cfg.head_dim, pack4=pack4, layer=i,
+                        act=cfg.act, norm_eps=cfg.norm_eps,
+                        valid_len=valid_len)
+                    x = y.astype(x.dtype)[:, None]
+                    continue
                 from ..ops.flash_attention import decode_attention_q
                 att = decode_attention_q(
                     q[:, :, 0].reshape(b, cfg.num_heads * cfg.head_dim),

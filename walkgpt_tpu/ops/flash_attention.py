@@ -1462,6 +1462,28 @@ def _decode_attn_q_block(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
         acc_s[r:r + 1, :] = acc_s[r:r + 1, :] * alpha_exp + y
 
 
+def banded_q8(q, *, n_kv: int, head_dim: int):
+    """Quantize q per head and pre-build the BANDED int8 query matrices for
+    the int8-MXU scores dot (built OUTSIDE the kernel — their block index
+    is constant in the length-block grid dim, so they DMA once per row):
+    qb8[b, r, kv, kv*D+dd] = round(q[b, (kv*n_rep+r)*D+dd] / qs).
+    Returns (qb8 int8 [B, n_rep, n_kv, n_kv*D], qs f32 [B, n_rep, n_kv])."""
+    b, hd = q.shape
+    d = head_dim
+    h = hd // d
+    n_rep = h // n_kv
+    kd_log = n_kv * d
+    qf = q.astype(jnp.float32).reshape(b, h, d)
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), -1, keepdims=True),
+                     1e-20) * (1.0 / 127.0)                    # [b, h, 1]
+    q8 = jnp.round(qf / qs).astype(jnp.int8)
+    q8r = q8.reshape(b, n_kv, n_rep, d).transpose(0, 2, 1, 3)
+    eye8 = jnp.eye(n_kv, dtype=jnp.int8)[None, None, :, :, None]
+    qb8 = (q8r[:, :, :, None, :] * eye8).reshape(b, n_rep, n_kv, kd_log)
+    qs_r = qs[..., 0].reshape(b, n_kv, n_rep).transpose(0, 2, 1)
+    return qb8, qs_r.astype(jnp.float32)
+
+
 def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
                        n_kv: int, head_dim: int, pack4: bool = False,
                        layer: int = 0, block: int = DECODE_BLOCK,
@@ -1512,18 +1534,8 @@ def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
     if qdot_int8 is None:
         qdot_int8 = DECODE_QDOT8
     if qdot_int8:
-        # quantize q per head and pre-build the banded matrices OUTSIDE the
-        # kernel (their block index is constant in jk -> one DMA per row):
-        # qb8[b, r, kv, kv*D+dd] = round(q[b, (kv*n_rep+r)*D+dd] / qs)
         kd_log = n_kv * d
-        qf = q.astype(jnp.float32).reshape(b, h, d)
-        qs = jnp.maximum(jnp.max(jnp.abs(qf), -1, keepdims=True),
-                         1e-20) * (1.0 / 127.0)                # [b, h, 1]
-        q8 = jnp.round(qf / qs).astype(jnp.int8)
-        q8r = q8.reshape(b, n_kv, n_rep, d).transpose(0, 2, 1, 3)
-        eye8 = jnp.eye(n_kv, dtype=jnp.int8)[None, None, :, :, None]
-        qb8 = (q8r[:, :, :, None, :] * eye8).reshape(b, n_rep, n_kv, kd_log)
-        qs_r = qs[..., 0].reshape(b, n_kv, n_rep).transpose(0, 2, 1)
+        qb8, qs_r = banded_q8(q, n_kv=n_kv, head_dim=d)
         first_specs = [
             pl.BlockSpec((None, n_rep, n_kv, kd_log),
                          lambda ib, jk, nvb_ref: (ib, 0, 0, 0),
