@@ -364,8 +364,9 @@ def test_decode_attention_matches_mha():
                                np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("qdot8", [False, True])
-def test_decode_attention_q_matches_dequantized_mha(qdot8):
+@pytest.mark.parametrize("qdot8,pv8", [(False, False), (True, False),
+                                       (True, True)])
+def test_decode_attention_q_matches_dequantized_mha(qdot8, pv8):
     """decode_attention_q (int8 and packed-int4 flat cache, in-VMEM dequant
     + scale folding) == mha over the explicitly dequantized cache — with
     both the bf16 and the int8-MXU (per-head-quantized q) scores dots."""
@@ -408,7 +409,8 @@ def test_decode_attention_q_matches_dequantized_mha(qdot8):
         vsb = jnp.asarray(vs).transpose(0, 2, 1)[None]
         got = decode_attention_q(q.reshape(b, h * d), kbuf, ksb, vbuf, vsb,
                                  mask, n_kv=n_kv, head_dim=d, pack4=pack4,
-                                 layer=0, block=8)
+                                 layer=0, block=8, qdot_int8=qdot8,
+                                 pv_int8=pv8)
         kh = jnp.asarray(kd_ref).transpose(0, 2, 1, 3)      # [B, n_kv, L, D]
         vh = jnp.asarray(vd_ref).transpose(0, 2, 1, 3)
         ref = mha(q[:, :, None], jnp.repeat(kh, rep, 1), jnp.repeat(vh, rep, 1),

@@ -1125,6 +1125,10 @@ DECODE_BLOCK = int(os.environ.get("WALKGPT_DECODE_BLOCK", "256"))
 # 19.57 vs 20.87 ms/step. Opt out with WALKGPT_QDOT8=0.
 DECODE_QDOT8 = os.environ.get("WALKGPT_QDOT8", "1") == "1"
 
+# Default for the int8 PV dot (softmax rows quantized per kv column and
+# dotted int8 x int8 straight over the int8 cache values — no v cast).
+DECODE_PVDOT8 = os.environ.get("WALKGPT_PVDOT8", "0") == "1"
+
 
 def _decode_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s,
                         *, h: int, n_kv: int, d: int, scale: float):
@@ -1302,7 +1306,7 @@ def _decode_attn_q_kernel(nvb_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 def _decode_attn_q8_kernel(nvb_ref, qb8_ref, qs_ref, k_ref, ks_ref, v_ref,
                            vs_ref, mask_ref, o_ref, m_s, l_s, acc_s,
                            *, h: int, n_kv: int, d: int, scale: float,
-                           pack4: bool):
+                           pack4: bool, pv8: bool = False):
     """int8-MXU-scores variant: the banded query matrix arrives PRE-BUILT
     and PRE-QUANTIZED (qb8_ref [n_rep, n_kv, kd] int8, per-head scales
     qs_ref [n_rep, n_kv] f32 — decode_attention_q builds them outside, one
@@ -1326,7 +1330,7 @@ def _decode_attn_q8_kernel(nvb_ref, qb8_ref, qs_ref, k_ref, ks_ref, v_ref,
         _decode_attn_q_block(None, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
                              m_s, l_s, acc_s, h=h, n_kv=n_kv, d=d,
                              scale=scale, pack4=pack4,
-                             qb8_ref=qb8_ref, qs_ref=qs_ref)
+                             qb8_ref=qb8_ref, qs_ref=qs_ref, pv8=pv8)
 
     @pl.when(jk == nb - 1)
     def _finish():
@@ -1358,7 +1362,8 @@ def _decode_attn_q_finish(o_ref, m_s, l_s, acc_s, *, h: int, n_kv: int,
 def _decode_attn_q_block(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
                          m_s, l_s, acc_s,
                          *, h: int, n_kv: int, d: int, scale: float,
-                         pack4: bool, qb8_ref=None, qs_ref=None):
+                         pack4: bool, qb8_ref=None, qs_ref=None,
+                         pv8: bool = False):
     n_rep = h // n_kv
     kd = n_kv * d
     k8 = k_ref[:]                                  # [bl, kd(/2)] int8
@@ -1375,10 +1380,10 @@ def _decode_attn_q_block(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
             hi = (z32 >> 4).astype(dtype)
             return lo, hi
         # k feeds the scores dot: int8 planes when the q side is int8
-        # (native int8 MXU dot), bf16 otherwise. v always unpacks to bf16
-        # (the PV dot keeps bf16 softmax rows).
+        # (native int8 MXU dot), bf16 otherwise. v unpacks to int8 when the
+        # PV dot is int8 (pv8), bf16 otherwise.
         klo, khi = unpack(k8, jnp.int8 if qdot8 else jnp.bfloat16)
-        vlo, vhi = unpack(v8, jnp.bfloat16)
+        vlo, vhi = unpack(v8, jnp.int8 if pv8 else jnp.bfloat16)
 
     # lane -> kv-head band helpers (static iota). Arithmetic 0/1 masks, not
     # boolean selects: Mosaic cannot relayout a [n_kv, kd] i1 vector between
@@ -1443,19 +1448,47 @@ def _decode_attn_q_block(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
         l_s[r:r + 1, :n_kv] = l_old * alpha + jnp.sum(p, axis=0,
                                                       keepdims=True)
         m_s[r:r + 1, :n_kv] = m_new
-        p_s = (p * vs_t).astype(jnp.bfloat16)
-        if pack4:
-            y_full = jnp.concatenate([
-                jax.lax.dot_general(p_s, vlo, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32),
-                jax.lax.dot_general(p_s, vhi, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)],
-                axis=1)                             # [n_kv, kd]
-        else:
-            y_full = jax.lax.dot_general(
-                p_s, v8.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        if pv8:
+            # int8 PV: quantize the scaled softmax rows per kv COLUMN
+            # (p >= 0, vs > 0 -> nonnegative), dot int8 x int8 -> int32
+            # straight over the int8 cache values (no v cast), and expand
+            # the per-column scale to lanes with the band matrix — the
+            # band reduce only mixes lanes of the SAME kv row, so the
+            # post-reduce scaling is exact.
+            pf = p * vs_t                           # [bl, n_kv] f32
+            psc = jnp.maximum(jnp.max(pf, axis=0, keepdims=True),
+                              1e-20) * (1.0 / 127.0)          # [1, n_kv]
+            ps8 = jnp.round(pf / psc).astype(jnp.int8)
+            if pack4:
+                y_i = jnp.concatenate([
+                    jax.lax.dot_general(ps8, vlo, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32),
+                    jax.lax.dot_general(ps8, vhi, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)],
+                    axis=1)                         # [n_kv, kd]
+            else:
+                y_i = jax.lax.dot_general(
+                    ps8, v8, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            y = jnp.sum(y_i.astype(jnp.float32) * band_f32, 0,
+                        keepdims=True)              # [1, kd]
+            y = y * jax.lax.dot_general(
+                psc, band_f32, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        y = jnp.sum(y_full * band_f32, 0, keepdims=True)             # [1, kd]
+        else:
+            p_s = (p * vs_t).astype(jnp.bfloat16)
+            if pack4:
+                y_full = jnp.concatenate([
+                    jax.lax.dot_general(p_s, vlo, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32),
+                    jax.lax.dot_general(p_s, vhi, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)],
+                    axis=1)                         # [n_kv, kd]
+            else:
+                y_full = jax.lax.dot_general(
+                    p_s, v8.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            y = jnp.sum(y_full * band_f32, 0, keepdims=True)         # [1, kd]
         alpha_exp = jax.lax.dot_general(
             alpha.astype(jnp.bfloat16), r_mat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # [1, kd]
@@ -1487,7 +1520,8 @@ def banded_q8(q, *, n_kv: int, head_dim: int):
 def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
                        n_kv: int, head_dim: int, pack4: bool = False,
                        layer: int = 0, block: int = DECODE_BLOCK,
-                       valid_len=None, qdot_int8: Optional[bool] = None):
+                       valid_len=None, qdot_int8: Optional[bool] = None,
+                       pv_int8: Optional[bool] = None):
     """One decode step of attention over a QUANTIZED flat cache.
 
     q: [B, H*D]; k_cache/v_cache: [layers, B, L, n_kv*D] int8, or with
@@ -1533,6 +1567,8 @@ def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
 
     if qdot_int8 is None:
         qdot_int8 = DECODE_QDOT8
+    if pv_int8 is None:
+        pv_int8 = DECODE_PVDOT8
     if qdot_int8:
         kd_log = n_kv * d
         qb8, qs_r = banded_q8(q, n_kv=n_kv, head_dim=d)
@@ -1555,9 +1591,10 @@ def decode_attention_q(q, k_cache, k_scale, v_cache, v_scale, key_mask, *,
         first_args = (q[:, None],)
         kernel = _decode_attn_q_kernel
 
+    kw = {"pv8": pv_int8} if qdot_int8 else {}
     out = pl.pallas_call(
         functools.partial(kernel, h=h, n_kv=n_kv, d=d,
-                          scale=scale, pack4=pack4),
+                          scale=scale, pack4=pack4, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, l // bl),
