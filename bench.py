@@ -116,12 +116,14 @@ def main():
     # SAM->MSQP tokens (evaluation_walkgpt.py:535-577), CLIP is a parity-only
     # alternate stream — no reason to hold its weights in HBM here.
     import dataclasses
-    # Flat packed-int4 KV cache + the Pallas banded-dot decode kernel is the
-    # measured 7B/13B winner (v5e, 7B batch 20: 15.30 ms/step vs heads-int8
-    # 19.55 — and e2e 2.15 img/s vs 1.00); still a loss at 1B (small cache,
-    # act-quant VPU overhead dominates).
+    # Flat quantized KV caches + the Pallas banded-dot decode kernel win at
+    # every scale (v5e, int8-MXU scores dot): 7B/13B run packed int4 (7B
+    # batch 20: 15.30 ms/step vs heads-int8 19.55; e2e 2.15 img/s vs 1.00);
+    # 1B defaults to the near-lossless int8 rows (9.62 img/s vs 9.33 bf16;
+    # BENCH_KV=int4_flat trades KV precision for 9.81).
     kv = os.environ.get("BENCH_KV",
-                        "int4_flat" if model_kind in ("7b", "13b") else "")
+                        "int4_flat" if model_kind in ("7b", "13b")
+                        else "int8_flat" if model_kind == "1b" else "")
     cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True,
                               fast_gelu=True,
                               kv_quant_cache=kv if kv in ("int8", "int4",
