@@ -7,10 +7,11 @@ Measures the full grounded-navigation inference pipeline per image
     SAM mask decode -> 1024² mask canvas
 as ONE compiled XLA program, bf16 params, fp32 softmax/LN.
 
-Model scale (env BENCH_MODEL): "1b" (default) = WalkGPT-1B, largest
-bf16 single-v5e-chip config at 128-token decode; "7b"/"13b" = reference
-parity scales with int8 LLM weights at the reference's 512-token decode
-budget (evaluation_walkgpt.py:573-575); "demo" = tiny smoke.
+Model scale (env BENCH_MODEL): "1b" (default) = WalkGPT-1B at 128-token
+decode, near-lossless W8A8 LLM + int8 SAM (BENCH_QUANT=none for all-bf16
+weights); "7b"/"13b" = reference parity scales with packed-int4 LLM weights
+at the reference's 512-token decode budget (evaluation_walkgpt.py:573-575);
+"demo" = tiny smoke.
 
 vs_baseline: the reference publishes NO numbers (BASELINE.md) and cannot run
 here (no GPU, no released weights), so the denominator is an analytic
@@ -150,9 +151,15 @@ def main():
     dtype = jnp.bfloat16
     # 7B/13B need quantized LLM weights to fit one v5e-16G chip (bf16 14/26
     # GB); int4x (packed int4 MLP+QKV+head, w8a8 attention activations)
-    # measured fastest at both scales — see README performance table
+    # measured fastest at both scales — see README performance table.
+    # 1B defaults to near-lossless W8A8 (+ int8 SAM below): 10.82 img/s vs
+    # 9.67 bf16-LLM (w8a8 LLM alone 10.31 — the rest is the int8 SAM blocks).
+    # BENCH_QUANT=none restores the all-bf16-weights 1B config.
     quant = os.environ.get("BENCH_QUANT",
-                           "int4x" if model_kind in ("7b", "13b") else "")
+                           "int4x" if model_kind in ("7b", "13b")
+                           else "w8a8" if model_kind == "1b" else "")
+    if quant in ("", "none", "bf16"):
+        quant = ""
     if quant in ("int8", "w8a8", "int4", "int4x"):
         # incremental on-device init: each layer's bf16 weights exist only
         # transiently before quantization, so 7B/13B fit the chip and no
@@ -175,7 +182,8 @@ def main():
                                         sam_int8=os.environ.get(
                                             "BENCH_SAM",
                                             "int8" if model_kind in
-                                            ("7b", "13b") else "") == "int8")
+                                            ("1b", "7b", "13b") else "")
+                                        == "int8")
     else:
         params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     n_params = nn.count_params(params)
