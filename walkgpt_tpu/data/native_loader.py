@@ -1,4 +1,5 @@
-"""ctypes binding for the native preprocessing library (native/preprocess.cpp).
+"""ctypes binding for the native preprocessing library (walkgpt_tpu/_native/preprocess.cpp;
+the top-level `native` path symlinks there).
 
 Builds libwgpreprocess.so on first use (g++ is in the image) and falls back to
 the PIL path in transforms.py when unavailable. The native resampler mirrors
@@ -18,8 +19,13 @@ _TRIED = False
 
 
 def _native_dir() -> str:
-    return os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "native")
+    env = os.environ.get("WALKGPT_NATIVE_DIR")
+    if env:
+        return env
+    # package-internal sources (shipped in the wheel as package data; the
+    # source checkout's top-level `native` is a symlink to this directory)
+    return os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "_native")
 
 
 def load_library() -> Optional[ctypes.CDLL]:
