@@ -94,10 +94,16 @@ def linear_init(key, d_in: int, d_out: int, *, bias: bool = True,
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "a8" in p:    # W8A8: dynamic per-token int8 activations (ops/quant.py)
-        xf = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
-                         1e-8) / 127.0
-        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        # the elementwise quantize stays in the input dtype: upcasting the
+        # whole activation to fp32 halves the realized int8 MXU rate at
+        # SAM-block shapes (164 vs 295 TFLOP/s measured on v5e, bf16 peak 86
+        # — benchmarks/micro_int8_dot.py). Only the scalar-per-token scale
+        # runs fp32; quant and dequant use the SAME inv/sx pair, so the only
+        # extra error vs the fp32 path is sub-LSB rounding of x*inv.
+        ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        inv = (127.0 / jnp.maximum(ax.astype(jnp.float32), 1e-8)).astype(x.dtype)
+        sx = 1.0 / inv.astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
         # native int8xint8->int32 MXU dot: no per-element weight dequant
         y = jax.lax.dot_general(xq, p["w_q"],
                                 (((xq.ndim - 1,), (0,)), ((), ())),
