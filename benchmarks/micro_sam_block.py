@@ -28,7 +28,8 @@ def main():
     from walkgpt_tpu.ops.quant import quantize_sam_encoder
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    cfg = SAMEncoderConfig.vit_h()
+    from walkgpt_tpu.core.config import SAM_VIT_H
+    cfg = SAM_VIT_H
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
     params = sam_encoder.init(key, cfg, dtype)
@@ -51,12 +52,18 @@ def main():
         return jax.jit(run)
 
     def t(fn, *args):
-        out = fn(*args); out.block_until_ready()
+        # block_until_ready() returns before execution completes on the
+        # tunneled platform (see bench.py); a host readback is the only
+        # reliable sync, so time windows of calls ended by one readback.
+        out = fn(*args)
+        float(jnp.sum(out))            # warm + compile
         best = float("inf")
+        win = 2
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(*args); out.block_until_ready()
-            best = min(best, time.perf_counter() - t0)
+            acc = [jnp.sum(fn(*args)) for _ in range(win)]
+            float(sum(acc))
+            best = min(best, (time.perf_counter() - t0) / win)
         return best / reps * 1000
 
     def block(p, c):
