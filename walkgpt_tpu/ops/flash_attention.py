@@ -383,13 +383,21 @@ def _sam_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, lse_ref, *,
     bq, d = q_ref.shape
     m_tot = k_ref.shape[0]
 
-    q = q_ref[:].astype(jnp.float32)
-    relw = relw_ref[:].astype(jnp.float32)
-    relh = relh_ref[:].astype(jnp.float32)                    # [bq, GH]
+    # ALL matmuls run in the input dtype (bf16 in production) with fp32
+    # accumulation — fp32 MXU throughput is ~6x below bf16 on v5e. This
+    # matters doubly for the rel-h expansion dot: at bq=256/bk=512/GH=64 its
+    # [bq,GH]@[GH,bk] is ~80% of the QK dot's FLOPs, so running it fp32 made
+    # the bias more expensive than attention itself. The expansion matrices
+    # are exact 0/1 indicators and relh/relw are bf16 inputs already, so
+    # bf16 dots with fp32 accumulate lose nothing. Softmax statistics stay
+    # fp32, matching the windowed kernel's numerics (_win_fwd_kernel).
+    q = q_ref[:] * jnp.asarray(scale, q_ref.dtype)
+    relw = relw_ref[:]
+    relh = relh_ref[:]                                        # [bq, GH]
 
     colw = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 1)
     roww = jax.lax.broadcasted_iota(jnp.int32, (kw, bk), 0)
-    e_w = (colw % kw == roww).astype(jnp.float32)             # [kw, bk]
+    e_w = (colw % kw == roww).astype(relw.dtype)              # [kw, bk]
     bias_w = jax.lax.dot_general(relw, e_w, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     rsel = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 0)
@@ -397,11 +405,11 @@ def _sam_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, lse_ref, *,
 
     def body(jk, carry):
         m_i, l_i, acc = carry
-        k = k_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
-        v = v_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+        k = k_ref[pl.ds(jk * bk, bk), :]
+        v = v_ref[pl.ds(jk * bk, bk), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        e_r = (rsel == (jk * bk + ksel0) // kw).astype(jnp.float32)  # [GH, bk]
+        e_r = (rsel == (jk * bk + ksel0) // kw).astype(relh.dtype)  # [GH, bk]
         s = s + bias_w + jax.lax.dot_general(
             relh, e_r, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -414,7 +422,8 @@ def _sam_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, lse_ref, *,
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     init = (jnp.full((bq, 1), NEG_INF, jnp.float32),
@@ -508,7 +517,6 @@ def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
     bq, d = q_ref.shape
     m_tot = k_ref.shape[0]
 
-    q = q_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
     lse = lse_ref[:].astype(jnp.float32)
     delta = delta_ref[:].astype(jnp.float32)
@@ -527,10 +535,13 @@ def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
 
     def body(jk, carry):
         dq_acc, drh_acc, drw_acc = carry
-        k = k_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        k_raw = k_ref[pl.ds(jk * bk, bk), :]
+        k = k_raw.astype(jnp.float32)
         v = v_ref[pl.ds(jk * bk, bk), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        # same raw-dtype q*scale rounding as the forward, so p matches lse
+        s = jax.lax.dot_general(
+            q_ref[:] * jnp.asarray(scale, q_ref.dtype), k_raw,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         e_r = (rsel_h == (jk * bk + ksel_h) // kw).astype(jnp.float32)
         s = s + bias_w + jax.lax.dot_general(
             relh, e_r, (((1,), (0,)), ((), ())),
@@ -575,7 +586,7 @@ def _sam_dkv_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
     n_tot = q_ref.shape[0]
     jk = pl.program_id(1)
 
-    k = k_ref[:].astype(jnp.float32)
+    k_raw = k_ref[:]
     v = v_ref[:].astype(jnp.float32)
     k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
 
@@ -588,14 +599,17 @@ def _sam_dkv_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
 
     def body(jq, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
+        q_raw = q_ref[pl.ds(jq * bq, bq), :]
+        q = q_raw.astype(jnp.float32)
         g = g_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
         lse = lse_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
         delta = delta_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
         rh = relh_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
         rw = relw_ref[pl.ds(jq * bq, bq), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        # same raw-dtype q*scale rounding as the forward, so p matches lse
+        s = jax.lax.dot_general(
+            q_raw * jnp.asarray(scale, q_raw.dtype), k_raw,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s + jax.lax.dot_general(rw, e_w, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         s = s + jax.lax.dot_general(rh, e_r, (((1,), (0,)), ((), ())),
