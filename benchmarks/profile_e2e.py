@@ -25,7 +25,8 @@ def main():
     cfg_fn = {"7b": walkgpt_7b_config, "1b": flagship_1b_config}[model]
     cfg = cfg_fn(seg_token_id=32000)
     cfg = dataclasses.replace(cfg, clip=None, fast_windowed_attention=True,
-                              fast_gelu=True, kv_quant_cache="int8",
+                              fast_gelu=True,
+                              kv_quant_cache=os.environ.get("P_KV", "int8"),
                               decode_scan_segment=int(
                                   os.environ.get("P_SCANSEG", "256")))
     if quant:

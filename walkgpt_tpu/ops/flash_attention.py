@@ -413,9 +413,13 @@ def _sam_fwd_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, lse_ref, *,
         s = s + bias_w + jax.lax.dot_general(
             relh, e_r, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        # mask key padding (m_valid keys are real)
-        k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(k_pos < m_valid, s, NEG_INF)
+        # mask key padding (m_valid keys are real). Statically skipped when
+        # the key timeline has no padding (production 64x64 grid with
+        # bk=512): the iota+compare+select cost ~1/3 of this VPU-bound
+        # kernel's per-logit work.
+        if m_valid < m_tot:
+            k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(k_pos < m_valid, s, NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -546,8 +550,9 @@ def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
         s = s + bias_w + jax.lax.dot_general(
             relh, e_r, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(k_pos < m_valid, s, NEG_INF)
+        if m_valid < m_tot:    # statically skipped when keys are unpadded
+            k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(k_pos < m_valid, s, NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -578,7 +583,7 @@ def _sam_dq_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
 
 def _sam_dkv_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, *, bq: int, kw: int, gh: int,
-                    scale: float, m_valid: int):
+                    scale: float, m_valid: int, m_tot: int):
     """dk/dv for one (batch*head, k-block), streaming query blocks. relh_ref
     is the full [N_pad, GH] projection; this k-block's grid-row selector is
     built from iotas."""
@@ -588,7 +593,8 @@ def _sam_dkv_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
 
     k_raw = k_ref[:]
     v = v_ref[:].astype(jnp.float32)
-    k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    if m_valid < m_tot:    # statically skipped when keys are unpadded
+        k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
 
     rsel_h = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 0)
     ksel_h = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 1)
@@ -614,7 +620,8 @@ def _sam_dkv_kernel(q_ref, k_ref, v_ref, relh_ref, relw_ref, g_ref, lse_ref,
                                     preferred_element_type=jnp.float32)
         s = s + jax.lax.dot_general(rh, e_r, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-        s = jnp.where(k_pos < m_valid, s, NEG_INF)
+        if m_valid < m_tot:
+            s = jnp.where(k_pos < m_valid, s, NEG_INF)
         p = jnp.exp(s - lse)
         dv_new = dv_acc + jax.lax.dot_general(
             p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -689,7 +696,7 @@ def _sam_flash_bwd(q, k, v, rel_h, rel_w, out, lse, g, grid_hw, bq, bk):
     blk_k = lambda bh, j: (bh, j, 0)
     dk, dv = pl.pallas_call(
         functools.partial(_sam_dkv_kernel, bq=bq, kw=gw, gh=gh_tot,
-                          scale=scale, m_valid=n),
+                          scale=scale, m_valid=n, m_tot=n + pm),
         grid=(b * h, (n + pm) // bk),
         in_specs=[
             pl.BlockSpec((None, n + pn, d), full, memory_space=pltpu.VMEM),
