@@ -9,7 +9,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # the gate's cost is XLA:CPU compiles of full-model fwd+bwd programs on
+    # one host core; O0 cuts them ~40% and only affects test-run CPU
+    # executables (the TPU bench/driver paths never read this conftest)
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

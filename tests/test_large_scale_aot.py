@@ -17,6 +17,7 @@ from walkgpt_tpu.parallel import sharding as shd
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_13b_forward_lowering_tp8():
     cfg = walkgpt_13b_config()
     mesh = shd.make_mesh(dp=1, tp=8)

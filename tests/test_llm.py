@@ -521,6 +521,8 @@ def test_int4_flat_cache_decodes_close_to_fp():
         assert np.isfinite(a).all()
 
 
+@pytest.mark.slow  # decode_cache_grow is OFF in every production config
+# (measured regression, see bench.py); parity kept for full runs
 def test_growing_cache_decode_token_identical():
     """cache_grow_step segments the decode scan with a growing cache; tokens,
     hidden states, and lengths must match the single-allocation path exactly

@@ -66,6 +66,8 @@ def test_trainable_mask_policy(setup):
     assert all(not v for k, v in flat.items() if k.startswith("tiny_xattn"))
 
 
+@pytest.mark.slow  # unsharded fwd+bwd compile; policy covered by
+# test_trainable_mask_policy + the sharded step tests in the default gate
 def test_frozen_params_unchanged_after_step(setup):
     tok, st, cfg, params = setup
     tcfg = tr.TrainConfig(warmup_steps=1, total_steps=10)
@@ -127,6 +129,8 @@ def test_sharded_train_step_runs_on_mesh(setup):
                                rtol=2e-4)
 
 
+@pytest.mark.slow  # decode parity is covered unsharded in test_llm.py;
+# the sharded-generation compile is the suite's 11th-biggest cost
 def test_sharded_generation_token_identical(setup):
     """tp-sharded generate_and_segment must produce the tokens of the
     unsharded pipeline (BASELINE config 5: sharded towers, streaming eval)."""

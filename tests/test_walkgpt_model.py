@@ -119,6 +119,17 @@ def test_model_forward_losses(setup):
         assert np.isfinite(val), name
     assert int(out.seg_valid.sum()) == 2
     assert out.pred_masks.shape == (db.max_segs, 64, 64)
+
+
+@pytest.mark.slow
+def test_model_forward_grad_flows(setup):
+    # the backward compile is the expensive half of the old combined test;
+    # the default gate keeps fwd+bwd coverage via the sharded train-step
+    # tests (test_train_sharded.py), which compile the production program
+    tok, st, cfg, params = setup
+    s1 = make_sample(tok, n_segs=2)
+    batch = collate_batch([s1], tok)
+    db = prepare_batch(batch, img_size=64, seq_multiple=32, seg_multiple=4)
     # gradient flows through the full pipeline
     g = jax.grad(lambda p: walkgpt.model_forward(
         p, cfg, images=jnp.array(db.images), input_ids=jnp.array(db.input_ids),
