@@ -105,6 +105,47 @@ def test_fused_gelu_matches_nn_mlp():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_quantize_tokens_f32_exact():
+    from walkgpt_tpu.ops.int8_gemm import quantize_tokens
+    x, _, _, _ = _mk(300, 256, 1, jnp.float32)    # M=300 exercises padding
+    xq, sx = quantize_tokens(x)
+    ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    inv = 127.0 / jnp.maximum(ax, 1e-8)
+    ref_q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(xq), np.asarray(ref_q))
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(1.0 / inv),
+                               rtol=3e-7)   # double-reciprocal f32 rounding
+    assert xq.dtype == jnp.int8 and sx.dtype == jnp.float32
+
+
+def test_quantize_tokens_bf16_and_lead_dims():
+    from walkgpt_tpu.ops.int8_gemm import quantize_tokens
+    x, _, _, _ = _mk(4 * 128, 384, 1, jnp.bfloat16)
+    xq, sx = quantize_tokens(x.reshape(4, 128, 384))
+    assert xq.shape == (4, 128, 384) and sx.shape == (4, 128, 1)
+    ax = np.max(np.abs(np.asarray(x, np.float32)), -1)
+    # interpret mode can flip round-half ties by one LSB (kernel docstring);
+    # compare dequantized values at quant-step scale
+    deq = np.asarray(xq, np.float32).reshape(512, 384) * np.asarray(
+        sx, np.float32).reshape(512, 1)
+    assert np.all(np.abs(deq - np.asarray(x, np.float32))
+                  <= (ax / 127.0 * 1.01 + 1e-6)[:, None])
+
+
+def test_quantize_tokens_matches_nn_linear_quant_decisions():
+    # nn.linear keeps the inline-XLA quantize (the kernel is a recorded
+    # negative result — module docstring); hold numeric parity so the
+    # experiment stays a valid drop-in for A/Bs
+    x, wq, ws, b = _mk(1024, 128, 128, jnp.float32)
+    from walkgpt_tpu.ops.int8_gemm import quantize_tokens
+    xq, sx = quantize_tokens(x)
+    y = np.asarray(xq, np.float32) @ np.asarray(wq, np.float32)
+    got = y * np.asarray(sx) * np.asarray(ws) + np.asarray(b)
+    p = {"w_q": wq, "w_scale": ws, "b": b, "a8": True}
+    ref = np.asarray(nn.linear(p, x), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_fits_vmem_covers_model_shapes():
     assert fits_vmem(1280, 3840)    # SAM qkv
     assert fits_vmem(1280, 5120)    # SAM fc1

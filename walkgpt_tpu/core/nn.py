@@ -100,6 +100,12 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # — benchmarks/micro_int8_dot.py). Only the scalar-per-token scale
         # runs fp32; quant and dequant use the SAME inv/sx pair, so the only
         # extra error vs the fp32 path is sub-LSB rounding of x*inv.
+        # Keep this in inline-XLA form: the quantize fuses into the PRODUCER
+        # epilogue (LN / int32-scale+GELU), so the bf16 activation never
+        # round-trips HBM. A Pallas quantize-only kernel (ops/int8_gemm.
+        # quantize_tokens) forces that materialization and measured SLOWER
+        # at every SAM-block shape (MLP 19.3 vs 10.7 ms) — see the module
+        # docstring there before "optimizing" this again.
         ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
         inv = (127.0 / jnp.maximum(ax.astype(jnp.float32), 1e-8)).astype(x.dtype)
         sx = 1.0 / inv.astype(jnp.float32)

@@ -40,6 +40,91 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# ---------------------------------------------------------------------------
+# One-pass per-token quantize — the SECOND negative result in this module
+# ---------------------------------------------------------------------------
+#
+# Hypothesis: the e2e trace shows ~40 abs_reduce/clamp_convert fusions
+# (~220 ms of the 1430 ms 1B pipeline) lowering nn.linear's dynamic
+# per-token quantize, each reading a 200 MB activation at an apparent
+# ~67 GB/s; a one-pass VMEM kernel should emit (xq, sx) at the write
+# roofline and reclaim most of it.
+#
+# Measured (v5e, micro_sam_block, 2026-08-19): SLOWER at every shape even
+# with ragged-edge grids (no pad copies) — qkv 6.85 vs 5.25 ms, MLP 19.3 vs
+# 10.7, whole block 28.6 vs 26.9. Root cause: those "slow" XLA fusions
+# compute the quantize INLINE in the producer's epilogue (LN, or the
+# int32-dot scale + GELU), so the bf16 activation never round-trips HBM;
+# a separate kernel — Pallas or not — forces that materialization, and the
+# extra read+write outweighs the fused pass it saves. The apparent 67 GB/s
+# was mis-attribution: those fusions do the producer math too.
+#
+# Conclusion: dynamic per-token W8A8 quantize is already optimal in inline
+# XLA form. Kept (with parity tests) as the record and for A/Bs.
+
+
+def _quant_kernel(x_ref, xq_ref, sx_ref):
+    x = x_ref[:]                                             # [bm, K]
+    ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    inv = (127.0 / jnp.maximum(ax.astype(jnp.float32), 1e-8)).astype(x.dtype)
+    # f32 roundeven of the input-dtype product == nn.linear's bf16 roundeven
+    # on hardware (the product is already bf16-rounded); see the GEMM kernel
+    # note below for the interpret-mode tie caveat.
+    xq_ref[:] = jnp.clip(jnp.round((x * inv).astype(jnp.float32)),
+                         -127, 127).astype(jnp.int8)
+    sx_ref[:] = 1.0 / inv.astype(jnp.float32)
+
+
+def _quant_pick_bm(k: int) -> int | None:
+    for bm in (512, 256, 128):
+        if bm * k * 3 + bm * 4 < 6 * 1024 * 1024:     # double-buffer headroom
+            return bm
+    return None
+
+
+def quantize_tokens(x: jnp.ndarray, bm: int | None = None):
+    """Per-token int8 quantize of x [..., K] in ONE HBM pass.
+
+    Returns (xq int8 [..., K], sx f32 [..., 1]) with numerics identical to
+    core/nn.linear's "a8" branch (input-dtype absmax, roundeven, sx = ax/127).
+    Inference-only (no VJP). Callers gate on quantize_fits(K).
+    """
+    k = x.shape[-1]
+    if bm is None:
+        bm = _quant_pick_bm(k)
+        if bm is None:
+            raise ValueError(f"quantize_tokens: K={k} tile overflows VMEM — "
+                             "gate callers on quantize_fits()")
+    lead = x.shape[:-1]
+    xm = x.reshape(-1, k)
+    m = xm.shape[0]
+    # no jnp.pad for ragged M: an explicit pad + result slice costs TWO full
+    # HBM copies of the activation (measured 10.7 -> 25 ms on the SAM MLP).
+    # Pallas handles the partial edge block itself; absmax over its garbage
+    # rows stays within those rows (the quantize is row-wise).
+    xq, sx = pl.pallas_call(
+        _quant_kernel,
+        grid=(pl.cdiv(m, bm),),
+        in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), jnp.int8),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(xm)
+    return (xq.reshape(*lead, k), sx.reshape(*lead, 1))
+
+
+def quantize_fits(k: int) -> bool:
+    """True if quantize_tokens can tile K within its VMEM budget."""
+    return _quant_pick_bm(k) is not None
+
+
 _ACTS = {
     None: lambda y: y,
     "gelu_exact": lambda y: y * 0.5 * (1.0 + jax.lax.erf(y / jnp.sqrt(2.0).astype(y.dtype))),
