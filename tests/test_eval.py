@@ -375,6 +375,60 @@ def test_eval_cli_batched_and_clip_stream(tmp_path):
     assert set(res_clip) >= {"giou", "ciou", "ap50"}
 
 
+def test_row_bucketing_is_metric_inert():
+    """prepare_batch(row_multiple=8) pads inert conversation rows (one live
+    token, labels -100, no [SEG], no sentinel) so eval batches share XLA
+    programs; the padded forward must produce IDENTICAL losses, seg
+    extraction, and masks to the unpadded one."""
+    import jax
+    from walkgpt_tpu.core.config import tiny_config
+    from walkgpt_tpu.data import conversation as conv_lib
+    from walkgpt_tpu.data.collate import collate_batch
+    from walkgpt_tpu.data.tokenizer import ByteTokenizer, setup_walkgpt_tokens
+    from walkgpt_tpu.models import walkgpt
+    from walkgpt_tpu.runtime.batching import prepare_batch
+    from tests.test_walkgpt_model import make_sample
+
+    conv_lib.set_default_conversation("llava_v1")
+    tok = ByteTokenizer(model_max_length=2048)
+    st = setup_walkgpt_tokens(tok)
+    cfg = tiny_config(seg_token_id=st.seg_token_idx)
+    params = walkgpt.init(jax.random.PRNGKey(0), cfg)
+    samples = [make_sample(tok, n_segs=2), make_sample(tok, n_segs=1, q="b?")]
+    batch = collate_batch(samples, tok)
+
+    outs = []
+    for rm in (1, 8):
+        db = prepare_batch(batch, img_size=64, seq_multiple=32,
+                           seg_multiple=4, seg_token_id=cfg.seg_token_id,
+                           row_multiple=rm)
+        if rm > 1:
+            assert db.input_ids.shape[0] % rm == 0
+            pad_rows = db.input_ids[len(samples[0].conversations)
+                                    + len(samples[1].conversations):]
+            assert (pad_rows != cfg.seg_token_id).all()
+            assert not (pad_rows == -200).any()
+        outs.append(walkgpt.model_forward(
+            params, cfg, images=jnp.array(db.images),
+            input_ids=jnp.array(db.input_ids), labels=jnp.array(db.labels),
+            attention_mask=jnp.array(db.attention_mask),
+            row_image_idx=jnp.array(db.row_image_idx),
+            gt_masks=jnp.array(db.gt_masks), pixel_hw=jnp.array(db.pixel_hw),
+            max_segs=db.max_segs))
+    a, b = outs
+    for name in ("loss", "ce_loss", "mask_bce_loss", "mask_dice_loss",
+                 "nce_loss"):
+        np.testing.assert_allclose(float(getattr(a, name)),
+                                   float(getattr(b, name)), rtol=2e-5,
+                                   err_msg=name)
+    assert int(a.seg_valid.sum()) == int(b.seg_valid.sum()) == 3
+    na = int(a.seg_valid.sum())
+    np.testing.assert_allclose(
+        np.asarray(a.pred_masks)[np.asarray(a.seg_valid, bool)][:na],
+        np.asarray(b.pred_masks)[np.asarray(b.seg_valid, bool)][:na],
+        atol=1e-5)
+
+
 def test_clip_visual_tokens_shapes_and_mask():
     """clip_visual_tokens: tower tokens -> 16x16-equivalent LLM grid + the
     nearest-downsampled validity mask (llava_arch.py:176-181, 251-259)."""

@@ -363,11 +363,19 @@ def model_forward(params, cfg: WalkGPTConfig, *,
     pred_embeddings = ctp_apply(params["ctp"][0], seg_hidden)  # [max_segs, C]
 
     # 5. InfoNCE region alignment (single-row batches skip same-row exclusion,
-    #    model/walkgpt.py:453-455)
+    #    model/walkgpt.py:453-455). Rows with no image sentinel, no [SEG],
+    #    and no unmasked label are row-bucketing pads (runtime/batching.py
+    #    row_multiple) whose visual tokens duplicate a real image's — keep
+    #    them out of the negative pool so padding is loss-inert. Real rows
+    #    (incl. text-only VQA, which always carries labels) are unaffected.
+    row_nce_ok = ((input_ids == IMAGE_TOKEN_INDEX).any(axis=1)
+                  | (input_ids == cfg.seg_token_id).any(axis=1)
+                  | ((labels != IGNORE_INDEX).any(axis=1) if labels is not None
+                     else jnp.ones((r,), bool)))
     nce = infonce_loss(pred_embeddings, sam_tokens_rows, seg_rows,
                        params["tiny_xattn"], temperature=lw.nce_tau,
                        top_k=lw.nce_topk, exclude_same_row=(r > 1),
-                       valid=seg_valid)
+                       valid=seg_valid, row_valid=row_nce_ok)
 
     # 6. SAM mask decoding per [SEG] against its own image's features
     img_of_seg = row_image_idx[seg_rows]

@@ -90,6 +90,9 @@ def infonce_loss(
     top_k: Optional[int] = 8,
     exclude_same_row: bool = True,
     valid: Optional[jnp.ndarray] = None,   # [M] bool — False rows are padding
+    row_valid: Optional[jnp.ndarray] = None,  # [rows] bool — False rows'
+    # tokens are excluded from the negative pool (row-bucketing pads
+    # duplicate a real image's tokens; they must not perturb the contrast)
     return_aux: bool = False,
 ):
     """Region-alignment InfoNCE. With `valid`, padded entries contribute 0 and
@@ -119,6 +122,9 @@ def infonce_loss(
         row_of_col = jnp.repeat(jnp.arange(rows), n_tok)     # [rows*N]
         same = seg_row_ids[:, None] == row_of_col[None, :]
         all_sim = jnp.where(same, -jnp.inf, all_sim)
+    if row_valid is not None:
+        col_ok = jnp.repeat(row_valid.astype(bool), n_tok)   # [rows*N]
+        all_sim = jnp.where(col_ok[None, :], all_sim, -jnp.inf)
 
     logits = jnp.concatenate([pos, all_sim], axis=1) / temperature
     logp = jax.nn.log_softmax(logits, axis=-1)

@@ -35,12 +35,21 @@ class DeviceBatch:
 def prepare_batch(batch: Dict, *, img_size: int = 1024, seq_multiple: int = 64,
                   max_segs: int | None = None, seg_multiple: int = 8,
                   images_key: str = "images",
-                  seg_token_id: int | None = None) -> DeviceBatch:
+                  seg_token_id: int | None = None,
+                  row_multiple: int = 1) -> DeviceBatch:
     """batch: output of data.collate.collate_batch (numpy).
 
     max_segs is sized from BOTH the GT mask planes and (when seg_token_id is
     given) the actual [SEG] occurrences in input_ids — they can disagree when
-    mask files are missing (degenerate PAVE rows)."""
+    mask files are missing (degenerate PAVE rows).
+
+    row_multiple buckets the conversation-ROW count: the number of rows per
+    device batch is data-dependent (images carry 1-5 conversation turns), so
+    without bucketing nearly every eval batch compiles a fresh XLA program
+    for both eval passes. Pad rows are inert: one live token (id 1) so
+    attention has a valid key, labels all -100 (no CE), no [SEG] (no mask
+    slots), no image sentinel (splice appends a masked-off visual block),
+    row_image_idx 0."""
     input_ids = np.asarray(batch["input_ids"])
     labels = np.asarray(batch["labels"])
     attn = np.asarray(batch["attention_masks"]).astype(bool)
@@ -62,6 +71,21 @@ def prepare_batch(batch: Dict, *, img_size: int = 1024, seq_multiple: int = 64,
     row_image_idx = np.zeros((r,), np.int32)
     for i in range(b):
         row_image_idx[offset[i]:offset[i + 1]] = i
+
+    # bucket the row count (see docstring)
+    r_pad = round_up(max(r, 1), row_multiple)
+    if r_pad > r:
+        def pad_r(a, fill):
+            out = np.full((r_pad, t_pad), fill, a.dtype)
+            out[:r] = a
+            return out
+        input_ids = pad_r(input_ids, 0)
+        labels = pad_r(labels, -100)
+        attn = pad_r(attn, False)
+        input_ids[r:, 0] = 1       # one live token per pad row
+        attn[r:, 0] = True
+        row_image_idx = np.concatenate(
+            [row_image_idx, np.zeros((r_pad - r,), np.int32)])
 
     # GT mask canvas in [SEG]/dataset order: concat per image
     masks_list = batch["masks_list"]

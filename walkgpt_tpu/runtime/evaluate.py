@@ -216,14 +216,22 @@ def _question_prompts(batch, conv_type: str, use_mm_start_end: bool):
     return prompts, questions
 
 
-def _pad_prompt_rows(rows, pad_id: int, multiple: int = 64) -> np.ndarray:
+def _pad_prompt_rows(rows, pad_id: int, multiple: int = 64,
+                     row_count: int | None = None) -> np.ndarray:
     """Right-pad tokenized prompt rows into one [R, T] matrix with T rounded
-    up to `multiple` — x64 length buckets keep the jit cache small."""
+    up to `multiple` — x64 length buckets keep the jit cache small.
+    row_count (optional) additionally pads the ROW dimension to match the
+    teacher-forced batch's bucketed row count (prepare_batch row_multiple);
+    pad rows get one live token so attention keeps a valid key, and their
+    generations are never consumed (the caller iterates real questions)."""
     t = max(len(r) for r in rows)
     t_pad = ((t + multiple - 1) // multiple) * multiple
-    ids = np.full((len(rows), t_pad), pad_id, np.int64)
+    n = max(row_count or len(rows), len(rows))
+    ids = np.full((n, t_pad), pad_id, np.int64)
     for j, r in enumerate(rows):
         ids[j, :len(r)] = r
+    if n > len(rows):
+        ids[len(rows):, 0] = rows[0][0]
     return ids
 
 
@@ -299,8 +307,16 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
         batch = collate_batch(samples, tokenizer,
                               conv_type=args.conv_type,
                               use_mm_start_end=args.use_mm_start_end)
+        # Bucket EVERY data-dependent dimension, not just sequence length:
+        # row count (conversation turns per image), seg count, and — for
+        # batched runs — a coarse x256 seq bucket. Each distinct shape
+        # compiles both eval programs (~200 s at 1B on v5e), so unbucketed
+        # batches spend the whole run compiling; bucketed ones converge to
+        # a handful of programs and stream.
         db = prepare_batch(batch, img_size=cfg.sam.img_size,
-                           seg_token_id=sid)
+                           seg_token_id=sid, row_multiple=8,
+                           seq_multiple=256 if bs > 1 else 64,
+                           seg_multiple=16 if bs > 1 else 8)
         return samples, batch, db
 
     # per-process strided shard (the DistributedSampler equivalent,
@@ -310,6 +326,8 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
     groups = [shard[i:i + bs] for i in range(0, len(shard), bs)]
     import time as _time
     t_wall = _time.perf_counter()
+    t_prev = t_wall
+    group_secs: List[tuple] = []      # (seconds, images) per device batch
     n_images = 0
     for samples, batch, db in prefetch_map(load, groups, depth=2):
         n_images += len(samples)
@@ -342,7 +360,9 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
                                                args.use_mm_start_end)
         rows = [tokenizer_image_token(p, tokenizer, return_np=True)
                 for p in prompts]
-        ids_p = _pad_prompt_rows(rows, tokenizer.pad_token_id)
+        ids_p = _pad_prompt_rows(rows, tokenizer.pad_token_id,
+                                 multiple=128 if bs > 1 else 64,
+                                 row_count=int(db.row_image_idx.shape[0]))
         clip_kw = {}
         if stream == "clip":
             clip_kw = dict(
@@ -376,16 +396,29 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
             gt_depth = parse_distance_block(gt_text)
             if gt_depth:
                 depth.update(answer, gt_depth)
+        now = _time.perf_counter()
+        group_secs.append((now - t_prev, len(samples)))
+        t_prev = now
 
     wall = _time.perf_counter() - t_wall
+    steady = 0.0
     if n_images:
         logger(f"[val] {n_images} images in {wall:.1f}s = "
                f"{n_images / wall:.3f} img/s (batch {bs}, stream {stream})")
+        if len(group_secs) > 1:
+            # the first batches of each (seq, segs) shape bucket carry the
+            # XLA compiles; the median per-image group time is the honest
+            # streaming rate of the warmed pipeline
+            per_img = sorted(t / max(k, 1) for t, k in group_secs)
+            steady = 1.0 / per_img[len(per_img) // 2]
+            logger(f"[val] steady-state {steady:.3f} img/s "
+                   f"(median batch; first batch carries the XLA compiles)")
     acc.all_reduce()
     depth.all_reduce()
     res = acc.results()
     res.update(depth.results())
     res["images_per_sec"] = (n_images / wall) if n_images else 0.0
+    res["images_per_sec_steady"] = steady
     logger(format_metric_line(args.val_dataset, res))
     return res, text_log
 
@@ -533,8 +566,30 @@ def _allreduce_counts(values: np.ndarray) -> np.ndarray:
     return out if out is not None else values
 
 
+def _setup_compile_cache():
+    """Persist compiled programs next to the package (same contract as
+    bench.py): on the tunneled TPU platform the eval programs cost ~15 min
+    of compiles cold, and /tmp does not survive driver rounds."""
+    import jax
+    try:
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT entries fail their own machine-feature check on
+            # reload (prefer-no-scatter pseudo-features), so the cache only
+            # costs noise there; the CPU test gate also runs these CLIs.
+            return
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".cache",
+            "jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:                       # pragma: no cover
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
+
+
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    _setup_compile_cache()
 
     from ..data import conversation as conv_lib
     from ..data.pave import PAVEDataset

@@ -197,6 +197,8 @@ def build_train_dataset(args, cfg, *, samples_per_epoch: int):
 
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    from .evaluate import _setup_compile_cache
+    _setup_compile_cache()        # persist train-step compiles across runs
     log_dir = os.path.join(args.log_base_dir, args.exp_name)
     os.makedirs(log_dir, exist_ok=True)
     writer = ScalarLogger(log_dir)
