@@ -175,6 +175,30 @@ def test_sharded_generation_token_identical(setup):
                                atol=5e-4)
 
 
+def test_sequence_parallel_step_matches(setup):
+    """sp=True (Megatron-style sequence-parallel residual constraints over
+    the tp axis) is the same math: loss and updated params match the plain
+    dp x tp step."""
+    tok, st, cfg, params = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = shd.make_mesh(dp=2, tp=4)
+    tcfg = tr.TrainConfig(warmup_steps=1, total_steps=10)
+    state, opt = tr.init_state(params, tcfg)
+    batch, max_segs = device_batch(tok, n_imgs=2)
+    step_sp, sstate, _ = tr.make_sharded_train_step(mesh, opt, cfg, max_segs,
+                                                    state, batch, sp=True)
+    new_state, metrics = step_sp(sstate, batch)
+    ref_state, ref_metrics = tr.train_step(state, batch, opt=opt,
+                                           model_cfg=cfg, max_segs=max_segs)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-4)
+    # a trained leaf matches the unsharded update too (same grads)
+    a = np.asarray(jax.tree_util.tree_leaves(new_state.params["ctp"])[0])
+    b = np.asarray(jax.tree_util.tree_leaves(ref_state.params["ctp"])[0])
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
 def test_grad_accumulation(setup):
     """MultiSteps: params move only every grad_accum micro-batches."""
     tok, st, cfg, params = setup

@@ -483,6 +483,7 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
             flash_fn=None,
             remat: bool = False,
             prefix_mask: Optional[jnp.ndarray] = None,
+            seq_constrain=None,
             ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Full-sequence (training / prefill) forward.
 
@@ -493,6 +494,13 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
     prefix tokens attend each other in BOTH directions (the MPT prefix-LM
     capability; reference mpt/hf_prefixlm_converter.py implements it by
     surgically patching HF models — here it is just a mask rule).
+    seq_constrain: optional fn(x: [B, T, H]) -> x applying a sharding
+    constraint to the residual stream between blocks — Megatron-style
+    sequence parallelism (parallel/sharding.seq_constrainer): the residual
+    saved for backward is token-sharded over the tp axis, so XLA turns the
+    tp all-reduces into reduce-scatter + all-gather pairs and activation
+    memory scales 1/tp. Applied OUTSIDE the remat boundary so the stored
+    residuals (not just the recompute) are sharded.
     Returns (final-norm hidden states [B, T, H], updated kv_cache or None).
     """
     b, t, _ = inputs_embeds.shape
@@ -517,6 +525,8 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
         bias = alibi_bias(cfg, pos, pos)[None]
 
     x = inputs_embeds
+    if seq_constrain is not None:
+        x = seq_constrain(x)
     new_cache = dict(kv_cache) if kv_cache is not None else None
 
     def block_fn(layer, x):
@@ -527,6 +537,8 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
                                   policy=jax.checkpoint_policies.nothing_saveable)
     for i, layer in enumerate(params["layers"]):
         x, (k_new, v_new) = block_fn(layer, x)
+        if seq_constrain is not None:
+            x = seq_constrain(x)
         if kv_cache is not None:
             # in-place slice writes (XLA aliases these into the cache buffer —
             # no per-layer full-cache pad/copy)
@@ -578,6 +590,56 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
                     v_new.astype(dt))
     x = _norm(params["final_norm"], x, cfg)
     return x, new_cache
+
+
+def forward_pipelined(params: Params, cfg: LLMConfig,
+                      inputs_embeds: jnp.ndarray, *,
+                      mesh, n_micro: int,
+                      attention_mask: Optional[jnp.ndarray] = None,
+                      positions: Optional[jnp.ndarray] = None,
+                      stacked_layers=None,
+                      ) -> jnp.ndarray:
+    """Full-sequence forward with the decoder blocks PIPELINED over the
+    mesh's "pp" axis (parallel/pipeline.pipeline_blocks: GPipe schedule,
+    shard_map + ppermute). Same math as `forward` — tested block-for-block
+    against it — with layer weights stacked [n_layers, ...] and sharded
+    P("pp") so each stage holds n_layers/pp layers.
+
+    stacked_layers: pre-stacked (and ideally pre-sharded) layer tree from
+    parallel.pipeline.stack_layers(params["layers"]); stacked here as a
+    convenience when omitted (no memory scaling in that case).
+    Embeddings and the final norm run outside the pipelined segment under
+    plain GSPMD. Rope models only (an ALiBi bias is not per-row aux).
+    Returns final-norm hidden states [B, T, H].
+    """
+    assert cfg.pos_emb != "alibi", "pipelined forward: rope models only"
+    from ..parallel import pipeline as ppl
+
+    b, t, _ = inputs_embeds.shape
+    if positions is None:
+        if attention_mask is not None:
+            positions = jnp.maximum(
+                attention_mask.astype(jnp.int32).cumsum(-1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(
+                jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    mask = jnp.broadcast_to(causal[None, None], (b, 1, t, t))
+    if attention_mask is not None:
+        mask = mask & attention_mask[:, None, None, :]
+
+    if stacked_layers is None:
+        stacked_layers = ppl.stack_layers(params["layers"])
+
+    def block_fn(layer, x, aux):
+        y, _ = _block(layer, cfg, x, positions=aux["positions"],
+                      mask=aux["mask"], bias=None, flash_fn=None)
+        return y
+
+    x = ppl.pipeline_blocks(stacked_layers, inputs_embeds,
+                            {"positions": positions, "mask": mask},
+                            block_fn, mesh=mesh, n_micro=n_micro)
+    return _norm(params["final_norm"], x, cfg)
 
 
 def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,

@@ -319,8 +319,13 @@ def model_forward(params, cfg: WalkGPTConfig, *,
                   pixel_hw: jnp.ndarray,          # [B, 2] valid (h, w) per image
                   max_segs: int,
                   flash_fn=None,
+                  seq_constrain=None,
                   ) -> ForwardOutput:
-    """Fully jittable teacher-forced forward + losses."""
+    """Fully jittable teacher-forced forward + losses.
+
+    seq_constrain: optional residual-stream sharding constraint for
+    sequence-parallel training (parallel/sharding.seq_constrainer),
+    threaded into llm.forward."""
     if flash_fn is None and cfg.use_flash_attention:
         from ..ops.flash_attention import flash_attention
         flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
@@ -340,7 +345,8 @@ def model_forward(params, cfg: WalkGPTConfig, *,
     sp = splice_visual(params, cfg, input_ids, vis_rows,
                        attention_mask=attention_mask, labels=labels)
     hidden, _ = llm.forward(params["llm"], cfg.llm, sp.embeds,
-                            attention_mask=sp.attention_mask, flash_fn=flash_fn)
+                            attention_mask=sp.attention_mask, flash_fn=flash_fn,
+                            seq_constrain=seq_constrain)
     logits = llm.lm_logits(params["llm"], cfg.llm, hidden)
 
     # 3. token CE (shifted, label-smoothed — llava_llama.py:111-125)

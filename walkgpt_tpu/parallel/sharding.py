@@ -145,3 +145,24 @@ def opt_state_pspecs(opt_state: Any, params_spec: Any, params: Any, *,
 def shard_tree(tree: Any, mesh: Mesh, specs: Any) -> Any:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
+
+
+def seq_constrainer(mesh: Mesh, *, batch_axis: str = "dp",
+                    seq_axis: str = "tp"):
+    """Sequence-parallel activation constraint (Megatron SP, the scaling-book
+    recipe): [B, T, H] residual streams are sharded (dp, tp, -) so the
+    token axis splits over the SAME devices that hold the tp-sharded
+    weights. XLA then materializes the attention/MLP boundary collectives
+    as reduce-scatter + all-gather over ICI instead of all-reduce, and the
+    per-device activation footprint of the saved residuals scales 1/tp.
+
+    Returns fn(x) -> x for llm.forward(seq_constrain=...). Identity on
+    arrays whose rank is not 3 so it composes with scalar/2-D aux values.
+    """
+    spec = NamedSharding(mesh, P(batch_axis, seq_axis, None))
+
+    def constrain(x):
+        if getattr(x, "ndim", 0) != 3:
+            return x
+        return jax.lax.with_sharding_constraint(x, spec)
+    return constrain

@@ -115,13 +115,15 @@ def init_state(params: Any, cfg: TrainConfig) -> Tuple[TrainState, Any]:
                       step=jnp.zeros((), jnp.int32)), opt
 
 
-def loss_fn(params, model_cfg: WalkGPTConfig, batch: Dict, max_segs: int):
+def loss_fn(params, model_cfg: WalkGPTConfig, batch: Dict, max_segs: int,
+            seq_constrain=None):
     out = walkgpt.model_forward(
         params, model_cfg,
         images=batch["images"], input_ids=batch["input_ids"],
         labels=batch["labels"], attention_mask=batch["attention_mask"],
         row_image_idx=batch["row_image_idx"], gt_masks=batch["gt_masks"],
-        pixel_hw=batch["pixel_hw"], max_segs=max_segs)
+        pixel_hw=batch["pixel_hw"], max_segs=max_segs,
+        seq_constrain=seq_constrain)
     metrics = {"loss": out.loss, "ce_loss": out.ce_loss,
                "mask_bce_loss": out.mask_bce_loss,
                "mask_dice_loss": out.mask_dice_loss,
@@ -130,10 +132,11 @@ def loss_fn(params, model_cfg: WalkGPTConfig, batch: Dict, max_segs: int):
 
 
 def train_step(state: TrainState, batch: Dict, *, opt,
-               model_cfg: WalkGPTConfig, max_segs: int
+               model_cfg: WalkGPTConfig, max_segs: int, seq_constrain=None
                ) -> Tuple[TrainState, Dict]:
     (loss, metrics), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params, model_cfg, batch, max_segs)
+        loss_fn, has_aux=True)(state.params, model_cfg, batch, max_segs,
+                               seq_constrain)
     updates, new_opt = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(new_params, new_opt, state.step + 1), metrics
@@ -152,12 +155,16 @@ def batch_pspecs(batch: Dict) -> Dict:
 
 
 def make_sharded_train_step(mesh: Mesh, opt, model_cfg: WalkGPTConfig,
-                            max_segs: int, state: TrainState, batch: Dict):
+                            max_segs: int, state: TrainState, batch: Dict,
+                            *, sp: bool = False):
     """jit the train step with explicit in/out shardings over the mesh.
 
     Note on dp batch sharding: model_forward gathers [SEG]s globally, so with
     dp>1 the per-step seg gather runs on the full (all-gathered) row set —
     XLA handles the collectives; images/LLM forward stay dp-sharded.
+    sp=True adds sequence-parallel residual-stream constraints over the tp
+    axis (parallel/sharding.seq_constrainer) — same math, reduce-scatter/
+    all-gather boundary collectives and 1/tp activation residency.
     Returns (step_fn, sharded_state, sharded_batch_specs)."""
     tp = mesh.shape["tp"]
     dp = mesh.shape["dp"]
@@ -188,9 +195,11 @@ def make_sharded_train_step(mesh: Mesh, opt, model_cfg: WalkGPTConfig,
         opt_state=shd.shard_tree(state.opt_state, mesh, opt_specs),
         step=jax.device_put(state.step, NamedSharding(mesh, P())))
 
+    seq_constrain = shd.seq_constrainer(mesh) if (sp and tp > 1) else None
+
     def _step(st, bt):
         return train_step(st, bt, opt=opt, model_cfg=model_cfg,
-                          max_segs=max_segs)
+                          max_segs=max_segs, seq_constrain=seq_constrain)
 
     step_fn = jax.jit(
         _step,
