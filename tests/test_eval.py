@@ -447,3 +447,35 @@ def test_clip_visual_tokens_shapes_and_mask():
     m = np.asarray(llm_mask).reshape(2, cfg.visual_grid, cfg.visual_grid)
     assert m[0].all()                      # full image: all tokens valid
     assert m[1, :2].all() and not m[1, 2:].any()   # half-pad: bottom rows off
+
+
+def test_device_mask_counts_match_host_histograms():
+    """device_mask_counts (the transfer-free streaming-eval reduction) must
+    reproduce intersection_and_union + the region crop exactly, including
+    the ignore_index rule."""
+    import jax.numpy as jnp
+    from walkgpt_tpu.eval.metrics import (device_mask_counts,
+                                          intersection_and_union)
+
+    rng = np.random.RandomState(3)
+    s, m = 24, 5
+    pred_logits = rng.randn(m, s, s).astype(np.float32)
+    gt = (rng.rand(m, s, s) > 0.5).astype(np.float32)
+    gt[0, :4, :4] = 255.0                      # ignore region
+    row_image_idx = np.array([0, 1, 0], np.int32)
+    seg_rows = np.array([0, 1, 2, 2, 1], np.int32)
+    pixel_hw = np.array([[20, 24], [16, 10]], np.int64)
+
+    counts = np.asarray(device_mask_counts(
+        jnp.asarray(pred_logits), jnp.asarray(gt), jnp.asarray(seg_rows),
+        jnp.asarray(row_image_idx), jnp.asarray(pixel_hw)))
+
+    for k in range(m):
+        img = int(row_image_idx[seg_rows[k]])
+        h, w = pixel_hw[img]
+        inter, union, target = intersection_and_union(
+            (pred_logits[k, :h, :w] > 0).astype(np.int64),
+            gt[k, :h, :w].astype(np.int64), 2, 255)
+        np.testing.assert_array_equal(counts[k, 0], inter)
+        np.testing.assert_array_equal(counts[k, 1], union)
+        np.testing.assert_array_equal(counts[k, 2], target)

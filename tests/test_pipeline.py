@@ -110,6 +110,41 @@ def test_pipelined_grads_match_sequential(setup):
                                    rtol=5e-4, atol=1e-5)
 
 
+def test_pipelined_remat_grads_match(setup):
+    """remat=True (per-layer rematerialization inside each stage) changes
+    memory, not math."""
+    mesh, params, x, am = setup
+    v = jnp.asarray(np.random.RandomState(7).randn(TINY.hidden_size),
+                    jnp.float32)
+    from walkgpt_tpu.parallel import pipeline as ppl2
+
+    def loss(p, remat):
+        stacked = ppl2.stack_layers(p["layers"])
+        pos = jnp.broadcast_to(jnp.arange(x.shape[1], dtype=jnp.int32)[None],
+                               x.shape[:2])
+        causal = jnp.tril(jnp.ones((x.shape[1], x.shape[1]), bool))
+        mask = jnp.broadcast_to(causal[None, None],
+                                (x.shape[0], 1) + causal.shape)
+        mask = mask & am[:, None, None, :]
+
+        def block(layer, xx, aux):
+            from walkgpt_tpu.models.llm import _block
+            y, _ = _block(layer, TINY, xx, positions=aux["p"],
+                          mask=aux["m"], bias=None, flash_fn=None)
+            return y
+
+        h = ppl2.pipeline_blocks(stacked, x, {"p": pos, "m": mask}, block,
+                                 mesh=mesh, n_micro=2, remat=remat)
+        return ((h.astype(jnp.float32) @ v) ** 2).mean()
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1["layers"]),
+                    jax.tree_util.tree_leaves(g0["layers"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-7)
+
+
 def test_bubble_microbatch_counts(setup):
     """n_micro = 1 (no overlap) and a deeper n_micro = 4 schedule (B doubled
     so each microbatch still divides over dp) both match."""

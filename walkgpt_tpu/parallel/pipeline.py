@@ -68,7 +68,8 @@ def stacked_pspecs(stacked: Any, *, axis: str = "pp") -> Any:
 
 def pipeline_blocks(stacked: Any, x: jnp.ndarray, aux: Any, block_fn: Callable,
                     *, mesh: Mesh, n_micro: int, axis: str = "pp",
-                    batch_axis: str = "dp") -> jnp.ndarray:
+                    batch_axis: str = "dp", remat: bool = False
+                    ) -> jnp.ndarray:
     """Run x through ALL stacked layers with a GPipe schedule over `axis`.
 
     stacked:  layer params with leading [n_layers] axis, n_layers % pp == 0.
@@ -78,6 +79,9 @@ def pipeline_blocks(stacked: Any, x: jnp.ndarray, aux: Any, block_fn: Callable,
     aux:      pytree of [B, ...] per-row side inputs consumed by every layer
               (attention masks, positions). Microbatched alongside x.
     block_fn: fn(layer_params, x_micro, aux_micro) -> x_micro — ONE layer.
+    remat:    rematerialize each layer on the backward pass (gradient
+              checkpointing inside the pipeline: per-microbatch residency
+              drops to one activation per stage boundary).
 
     Returns [B, T, H] after the full stack, batch-sharded over `batch_axis`
     and replicated over `axis`.
@@ -101,10 +105,14 @@ def pipeline_blocks(stacked: Any, x: jnp.ndarray, aux: Any, block_fn: Callable,
 
     def per_device(layers_local, xm_loc, aux_loc):
         stage = jax.lax.axis_index(axis)
+        one_layer = block_fn
+        if remat:
+            one_layer = jax.checkpoint(
+                block_fn, policy=jax.checkpoint_policies.nothing_saveable)
 
         def stage_apply(x_, aux_):
             def body(carry, layer):
-                return block_fn(layer, carry, aux_), None
+                return one_layer(layer, carry, aux_), None
             y, _ = jax.lax.scan(body, x_, layers_local)
             return y
 
