@@ -99,6 +99,32 @@ def test_train_cli_smoke_pave_lora(tmp_path):
 
 @pytest.mark.skipif(not os.path.exists(os.path.join(REF_DATASETS, "val.jsonl")),
                     reason="reference manifests absent")
+def test_train_cli_smoke_qlora_quant_base(tmp_path):
+    """--quant_base int4x: frozen int8-attn/int4-MLP base + fresh LoRA,
+    partitioned gradients (state.params is the TRAINABLE subtree only)."""
+    import jax
+    import jax.numpy as jnp
+    root = str(tmp_path / "data")
+    _write_pave_fixture(root)
+    state = train_cli.main([
+        "--model_size", "tiny", "--dataset", "PAVE",
+        "--dataset_dir", root, "--log_base_dir", str(tmp_path / "runs"),
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "1",
+        "--lora_r", "2", "--quant_base", "int4x", "--no_eval",
+        "--max_segs", "8", "--seq_multiple", "64",
+        "--model_max_length", "512",
+    ])
+    for layer in state.params["llm"]["layers"]:
+        assert "lora_a" in layer["attn"]["q"]
+        assert "lora_a" in layer["attn"]["v"]
+    # trainable subtree only: every array leaf is float (base stayed behind)
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert jnp.issubdtype(leaf.dtype, jnp.inexact), leaf.dtype
+    assert int(state.step) == 2
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(REF_DATASETS, "val.jsonl")),
+                    reason="reference manifests absent")
 def test_train_cli_mixture_three_tasks(tmp_path):
     """The reference's '||' DSL builds a HybridDataset and a mixture step with
     three task types runs (train_walkgpt.py:74-83)."""

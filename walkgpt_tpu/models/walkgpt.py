@@ -74,7 +74,8 @@ def init(key, cfg: WalkGPTConfig, dtype=jnp.float32, *, llm_init=None) -> Dict:
 def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
                    act_quant: bool = False, sam_int8: bool = False,
                    mlp_int4: bool = False, attn_int4: bool = False,
-                   head_int4: bool = False) -> Dict:
+                   head_int4: bool = False,
+                   quantize_lm_head: bool = True) -> Dict:
     """Same layout/keys as init(), but the LLM is built int8-quantized
     incrementally on the default device — a 7B/13B model fits a 16 GB chip
     without the full bf16 tree (or a multi-GB host->device transfer) ever
@@ -92,7 +93,8 @@ def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
                                              act_quant=act_quant,
                                              mlp_int4=mlp_int4,
                                              attn_int4=attn_int4,
-                                             head_int4=head_int4))
+                                             head_int4=head_int4,
+                                             quantize_lm_head=quantize_lm_head))
     if sam_int8:
         params["sam"] = quantize_sam_encoder(params["sam"],
                                              act_quant=act_quant)
@@ -320,12 +322,17 @@ def model_forward(params, cfg: WalkGPTConfig, *,
                   max_segs: int,
                   flash_fn=None,
                   seq_constrain=None,
+                  remat: bool = False,
                   ) -> ForwardOutput:
     """Fully jittable teacher-forced forward + losses.
 
     seq_constrain: optional residual-stream sharding constraint for
     sequence-parallel training (parallel/sharding.seq_constrainer),
-    threaded into llm.forward."""
+    threaded into llm.forward.
+    remat=True rematerializes LLM blocks on the backward pass — the TPU
+    equivalent of the reference's gradient_checkpointing_enable
+    (train_walkgpt.py:245); required to fit 13B QLoRA training activations
+    on one 16 GB chip."""
     if flash_fn is None and cfg.use_flash_attention:
         from ..ops.flash_attention import flash_attention
         flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
@@ -346,7 +353,7 @@ def model_forward(params, cfg: WalkGPTConfig, *,
                        attention_mask=attention_mask, labels=labels)
     hidden, _ = llm.forward(params["llm"], cfg.llm, sp.embeds,
                             attention_mask=sp.attention_mask, flash_fn=flash_fn,
-                            seq_constrain=seq_constrain)
+                            seq_constrain=seq_constrain, remat=remat)
     logits = llm.lm_logits(params["llm"], cfg.llm, hidden)
 
     # 3. token CE (shifted, label-smoothed — llava_llama.py:111-125)

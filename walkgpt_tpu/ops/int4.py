@@ -303,12 +303,17 @@ def mlp_int4_xla(mlp_params: Dict, x: jnp.ndarray, act: str) -> jnp.ndarray:
 
 
 def mlp_int4(mlp_params: Dict, x: jnp.ndarray, act: str) -> jnp.ndarray:
-    """Dispatch: fused one-launch Pallas kernel for decode-sized token
-    batches, XLA dual-dots for full sequences (prefill)."""
+    """Dispatch: fused one-launch Pallas kernel for single-token decode
+    steps, XLA dual-dots for everything else (prefill, spec-decode chunks,
+    training). The Pallas kernel has no VJP, and every multi-token forward
+    includes the QLoRA training pass — so the fused path engages exactly on
+    decode_step's [B, 1, H] activations (the bandwidth-bound loop it was
+    built for); the XLA path is differentiable wrt x throughout."""
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
-    if rows <= FUSED_MLP_MAX_ROWS:
+    single_token = x.ndim >= 2 and x.shape[-2] == 1
+    if single_token and rows <= FUSED_MLP_MAX_ROWS:
         return fused_mlp_int4(mlp_params, x, act)
     return mlp_int4_xla(mlp_params, x, act)
 

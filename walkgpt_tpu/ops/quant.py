@@ -44,7 +44,8 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
                        act_quant: bool = False,
                        mlp_int4: bool = False,
                        attn_int4: bool = False,
-                       head_int4: bool = False) -> Dict:
+                       head_int4: bool = False,
+                       quantize_lm_head: bool = True) -> Dict:
     """Random-init an int8-quantized LLM directly on the default device,
     one layer at a time: each layer's bf16 weights exist only transiently
     (freed after quantization), so a 7B/13B int8 model can be built on a
@@ -101,7 +102,9 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
     if not cfg.tie_embeddings:
         head = nn.linear_init(keys[-2], cfg.hidden_size, cfg.vocab_size,
                               bias=False, dtype=dtype)
-        if head_int4:
+        if not quantize_lm_head:
+            params["lm_head"] = head           # stays dense (QLoRA: trained)
+        elif head_int4:
             from . import int4 as int4_lib
             params["lm_head"] = int4_lib.quantize_weight4(head["w"],
                                                           pad_to=128)
@@ -218,12 +221,16 @@ def quantize_sam_encoder(sam_params: Dict, act_quant: bool = False) -> Dict:
 
 def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
                  act_quant: bool = False, mlp_int4: bool = False,
-                 attn_int4: bool = False, head_int4: bool = False) -> Dict:
+                 attn_int4: bool = False, head_int4: bool = False,
+                 quantize_lm_head: bool = True) -> Dict:
     """int8-quantize all 2-D projection weights of an LLM param tree
     (attention q/k/v/o, MLP, lm_head; embeddings optional — the embedding
     gather reads one row per token, so quantizing it saves little).
     mlp_int4/attn_int4/head_int4 pack those groups as int4 instead
-    (ops/int4.py; attn_int4 fuses q/k/v into one packed projection)."""
+    (ops/int4.py; attn_int4 fuses q/k/v into one packed projection).
+    quantize_lm_head=False keeps the head dense — required when it stays
+    TRAINABLE (QLoRA: the reference recipe trains lm_head + embed_tokens
+    alongside the adapters, train_walkgpt.py:347-359)."""
     p = {k: v for k, v in llm_params.items()}
     p["layers"] = []
     for layer in llm_params["layers"]:
@@ -241,7 +248,7 @@ def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
             new_layer["mlp"] = {k: (convert_proj(v, act_quant) if _is_proj(v)
                                     else v) for k, v in layer["mlp"].items()}
         p["layers"].append(new_layer)
-    if "lm_head" in p and _is_proj(p["lm_head"]):
+    if "lm_head" in p and _is_proj(p["lm_head"]) and quantize_lm_head:
         if head_int4:
             from . import int4 as int4_lib
             p["lm_head"] = int4_lib.quantize_weight4(p["lm_head"]["w"],

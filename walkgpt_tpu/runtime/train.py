@@ -116,14 +116,14 @@ def init_state(params: Any, cfg: TrainConfig) -> Tuple[TrainState, Any]:
 
 
 def loss_fn(params, model_cfg: WalkGPTConfig, batch: Dict, max_segs: int,
-            seq_constrain=None):
+            seq_constrain=None, remat: bool = False):
     out = walkgpt.model_forward(
         params, model_cfg,
         images=batch["images"], input_ids=batch["input_ids"],
         labels=batch["labels"], attention_mask=batch["attention_mask"],
         row_image_idx=batch["row_image_idx"], gt_masks=batch["gt_masks"],
         pixel_hw=batch["pixel_hw"], max_segs=max_segs,
-        seq_constrain=seq_constrain)
+        seq_constrain=seq_constrain, remat=remat)
     metrics = {"loss": out.loss, "ce_loss": out.ce_loss,
                "mask_bce_loss": out.mask_bce_loss,
                "mask_dice_loss": out.mask_dice_loss,
@@ -132,11 +132,107 @@ def loss_fn(params, model_cfg: WalkGPTConfig, batch: Dict, max_segs: int,
 
 
 def train_step(state: TrainState, batch: Dict, *, opt,
-               model_cfg: WalkGPTConfig, max_segs: int, seq_constrain=None
-               ) -> Tuple[TrainState, Dict]:
+               model_cfg: WalkGPTConfig, max_segs: int, seq_constrain=None,
+               remat: bool = False) -> Tuple[TrainState, Dict]:
     (loss, metrics), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params, model_cfg, batch, max_segs,
-                               seq_constrain)
+                               seq_constrain, remat)
+    updates, new_opt = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
+# ---------------------------------------------------------------------------
+# QLoRA: partitioned gradients over a frozen (possibly integer-quantized) base
+# ---------------------------------------------------------------------------
+#
+# train_step differentiates the FULL param tree: correct, but it materializes
+# a same-size gradient tree (13 GB of bf16 grads at 13B) and breaks outright
+# on integer leaves (jax.grad rejects int8/packed-int4 inputs). The reference
+# recipe only ever trains LoRA(q,v) + embed/lm_head + mask decoder +
+# projectors (train_walkgpt.py:263-359) — so we split the tree by that policy
+# and differentiate ONLY the trainable subtree; the frozen base (which may be
+# ops/quant int8 / ops/int4 packed-int4) rides along as a plain argument that
+# XLA never builds cotangents for. This is what lets the 13B recipe train on
+# one 16 GB v5e chip: quantized frozen base + full-precision adapters, the
+# TPU-native equivalent of QLoRA's nf4-base + bf16-LoRA split.
+
+def _is_none(x) -> bool:
+    return x is None
+
+
+def partition_params(params: Any, mask: Any) -> Tuple[Any, Any]:
+    """Split a param tree into (trainable, frozen) by a bool mask tree.
+    Both outputs keep the FULL tree structure with None at the other
+    partition's leaves, so they re-zip leafwise in combine_params."""
+    trainable = jax.tree_util.tree_map(
+        lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree_util.tree_map(
+        lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def combine_params(trainable: Any, frozen: Any) -> Any:
+    """Inverse of partition_params: at every leaf exactly one side is None."""
+    return jax.tree_util.tree_map(
+        lambda t, f: f if t is None else t, trainable, frozen,
+        is_leaf=_is_none)
+
+
+def init_qlora_state(params: Any, cfg: TrainConfig
+                     ) -> Tuple[TrainState, Any, Any]:
+    """Partition by the trainable policy and build the optimizer over ONLY
+    the trainable subtree. Returns (state, opt, frozen): state.params is the
+    trainable subtree; pass `frozen` to every qlora_train_step call (and to
+    combine_params for eval/export).
+
+    Validates the split: a trainable integer leaf means the quantizer ate a
+    trained weight (e.g. quantize_llm without quantize_lm_head=False), and a
+    frozen `a8` projection would run its activation through round() during
+    training — a zero-gradient wall for every adapter beneath it. Both are
+    config bugs; fail fast with the fix spelled out."""
+    mask = trainable_mask(params, cfg)
+    bad = []
+
+    def _chk(path, leaf, m):
+        if m and hasattr(leaf, "dtype") and not jnp.issubdtype(
+                leaf.dtype, jnp.inexact):
+            bad.append(shd._path_str(path))
+
+    jax.tree_util.tree_map_with_path(_chk, params, mask)
+    if bad:
+        raise ValueError(
+            f"trainable leaves with integer dtype {bad[:4]}: keep trained "
+            "groups dense (quantize_llm(..., quantize_lm_head=False), no "
+            "quantize_embeddings) or freeze them")
+    flags = []
+    jax.tree_util.tree_map_with_path(
+        lambda path, leaf: flags.append(shd._path_str(path))
+        if shd._path_str(path).endswith("/a8") else None, params)
+    if flags:
+        raise ValueError(
+            f"W8A8 activation quantization present ({flags[0]} ...): its "
+            "per-token round() has zero gradient — quantize the training "
+            "base with act_quant=False (weight-only int8 / packed int4)")
+
+    trainable, frozen = partition_params(params, mask)
+    opt, _ = make_optimizer(cfg, trainable)
+    state = TrainState(params=trainable, opt_state=opt.init(trainable),
+                       step=jnp.zeros((), jnp.int32))
+    return state, opt, frozen
+
+
+def qlora_train_step(state: TrainState, frozen: Any, batch: Dict, *, opt,
+                     model_cfg: WalkGPTConfig, max_segs: int,
+                     seq_constrain=None, remat: bool = False
+                     ) -> Tuple[TrainState, Dict]:
+    """train_step over the trainable subtree only; `frozen` is a plain
+    argument (never differentiated, never copied into optimizer state)."""
+    def lf(tp):
+        return loss_fn(combine_params(tp, frozen), model_cfg, batch,
+                       max_segs, seq_constrain, remat)
+
+    (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
     updates, new_opt = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(new_params, new_opt, state.step + 1), metrics
@@ -156,7 +252,7 @@ def batch_pspecs(batch: Dict) -> Dict:
 
 def make_sharded_train_step(mesh: Mesh, opt, model_cfg: WalkGPTConfig,
                             max_segs: int, state: TrainState, batch: Dict,
-                            *, sp: bool = False):
+                            *, sp: bool = False, remat: bool = False):
     """jit the train step with explicit in/out shardings over the mesh.
 
     Note on dp batch sharding: model_forward gathers [SEG]s globally, so with
@@ -199,7 +295,8 @@ def make_sharded_train_step(mesh: Mesh, opt, model_cfg: WalkGPTConfig,
 
     def _step(st, bt):
         return train_step(st, bt, opt=opt, model_cfg=model_cfg,
-                          max_segs=max_segs, seq_constrain=seq_constrain)
+                          max_segs=max_segs, seq_constrain=seq_constrain,
+                          remat=remat)
 
     step_fn = jax.jit(
         _step,

@@ -59,6 +59,14 @@ def parse_args(argv):
                    help="accepted for CLI parity; adapters here train without "
                    "dropout (deterministic jit step)")
     p.add_argument("--lora_target_modules", default="q_proj,v_proj")
+    p.add_argument("--quant_base", default="none",
+                   choices=["none", "int8", "int4x"],
+                   help="QLoRA: freeze the base LLM as weight-only int8 (or "
+                   "int8 attention + packed-int4 MLP, 'int4x') and train "
+                   "only adapters/embeddings/head/decoder/projectors with "
+                   "partitioned gradients — the reference's 13B LoRA recipe "
+                   "(train_walkgpt.py:263-359) fits ONE 16 GB v5e chip. "
+                   "Also int8-quantizes the frozen SAM encoder blocks")
     p.add_argument("--tune_mm_adapter", action="store_true", default=False,
                    help="LLaVA stage-1: caption pretrain of the projectors "
                    "only (train/train.py:810-1038 tune_mm_mlp_adapter); "
@@ -82,6 +90,12 @@ def parse_args(argv):
     p.add_argument("--nce_loss_weight", default=0.2, type=float,
                    help="effective weight (the reference hardcodes 0.2; "
                    "its CLI flag is dead — SURVEY WART-2)")
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   default=False,
+                   help="rematerialize LLM blocks on backward (the "
+                   "reference enables HF gradient checkpointing, "
+                   "train_walkgpt.py:245); trades FLOPs for activation "
+                   "memory — needed for 13B QLoRA on one chip")
     p.add_argument("--train_mask_decoder", action="store_true", default=True)
     p.add_argument("--max_segs", default=32, type=int)
     p.add_argument("--seq_multiple", default=256, type=int)
@@ -236,6 +250,20 @@ def main(argv=None):
         bce=args.bce_loss_weight, nce=args.nce_loss_weight))
     params = build_model(args, cfg)
 
+    if args.quant_base != "none":
+        # QLoRA base prep: weight-only quantization (act_quant=False — the
+        # W8A8 round() has zero gradient), trained groups stay dense. LoRA
+        # injection below rides the quantized projections (init_lora reads
+        # shapes from w_q; models/llm._proj adds the full-precision low-rank
+        # path on top of the dequant dot).
+        from ..ops.quant import quantize_llm, quantize_sam_encoder
+        params["llm"] = quantize_llm(
+            params["llm"], act_quant=False,
+            mlp_int4=args.quant_base == "int4x", quantize_lm_head=False)
+        params["sam"] = quantize_sam_encoder(params["sam"])
+        print(f"[qlora] frozen base quantized ({args.quant_base} LLM + int8 "
+              "SAM encoder); gradients run over the trainable subtree only")
+
     if args.lora_r > 0 and not args.tune_mm_adapter:
         has_lora = any("lora_a" in proj
                        for layer in params["llm"]["layers"]
@@ -270,7 +298,12 @@ def main(argv=None):
         grad_accum=args.grad_accumulation_steps,
         train_mask_decoder=args.train_mask_decoder,
         tune_projector_only=args.tune_mm_adapter)
-    state, opt = tr.init_state(params, tcfg)
+    qlora = args.quant_base != "none"
+    frozen = None
+    if qlora:
+        state, opt, frozen = tr.init_qlora_state(params, tcfg)
+    else:
+        state, opt = tr.init_state(params, tcfg)
 
     ckpt_root = os.path.join(log_dir, "ckpt_model")
     start_epoch = 0
@@ -307,12 +340,24 @@ def main(argv=None):
     first = make_batch(rng.randint(0, len(dataset), args.batch_size))
 
     if use_mesh:
+        if qlora:
+            raise SystemExit("--quant_base is a single-chip recipe (its "
+                             "point is fitting 7B/13B on ONE chip); use "
+                             "dp=tp=1 or drop --quant_base for sharded runs")
         mesh = shd.make_mesh(dp=args.dp, tp=args.tp)
         step_fn, state, _ = tr.make_sharded_train_step(
-            mesh, opt, cfg, args.max_segs, state, first)
+            mesh, opt, cfg, args.max_segs, state, first,
+            remat=args.gradient_checkpointing)
+    elif qlora:
+        qstep = jax.jit(lambda s, f, b: tr.qlora_train_step(
+            s, f, b, opt=opt, model_cfg=cfg, max_segs=args.max_segs,
+            remat=args.gradient_checkpointing))
+        def step_fn(s, b):
+            return qstep(s, frozen, b)
     else:
         step_fn = jax.jit(lambda s, b: tr.train_step(
-            s, b, opt=opt, model_cfg=cfg, max_segs=args.max_segs))
+            s, b, opt=opt, model_cfg=cfg, max_segs=args.max_segs,
+            remat=args.gradient_checkpointing))
 
     batch_time = AverageMeter("time", ":.3f")
     data_time = AverageMeter("data", ":.3f")
@@ -384,7 +429,9 @@ def main(argv=None):
             va.use_mm_start_end = True
             va.no_console_text = True
             va.val_dataset = f"{args.dataset}|{args.val_split}"
-            res, _ = validate(va, cfg, state.params, tokenizer, val_ds)
+            eval_params = (tr.combine_params(state.params, frozen)
+                           if qlora else state.params)
+            res, _ = validate(va, cfg, eval_params, tokenizer, val_ds)
             writer.add_scalar("val/giou", res["giou"], epoch)
             writer.add_scalar("val/ciou", res["ciou"], epoch)
             writer.add_scalar("val/miou_inclusive", res["miou_inclusive"], epoch)
