@@ -53,8 +53,15 @@ def a100_reference_imgs_per_sec(n_llm_params: float, max_new_tokens: int,
 
 
 def main():
+    t_start = time.perf_counter()
+
+    def phase(msg):
+        print(f"# [{time.perf_counter() - t_start:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
+    phase("jax imported")
     # persistent compile cache inside the repo: driver rounds and interactive
     # runs reuse compiled programs (first compile on the tunneled platform
     # costs minutes and is pure overhead before the timed region)
@@ -94,11 +101,14 @@ def main():
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
     if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
         from walkgpt_tpu.data.bpe_tokenizer import build_pave_bpe
-        # cache INSIDE the repo so driver rounds reuse it (/tmp is wiped)
-        tok = build_pave_bpe("/root/reference/datasets",
-                             cache_path=os.path.join(
-                                 os.path.dirname(os.path.abspath(__file__)),
-                                 ".cache", "pave_bpe", "tokenizer.json"),
+        # the trained tokenizer ships as a tracked asset (survives fresh
+        # clones); fall back to the in-repo .cache build otherwise
+        repo = os.path.dirname(os.path.abspath(__file__))
+        asset = os.path.join(repo, "walkgpt_tpu", "data", "assets",
+                             "pave_bpe_tokenizer.json")
+        cache = asset if os.path.exists(asset) else os.path.join(
+            repo, ".cache", "pave_bpe", "tokenizer.json")
+        tok = build_pave_bpe("/root/reference/datasets", cache_path=cache,
                              model_max_length=4096)
     else:
         tok = ByteTokenizer(model_max_length=4096)
@@ -187,6 +197,7 @@ def main():
     else:
         params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     n_params = nn.count_params(params)
+    phase(f"params initialized ({n_params/1e9:.2f}B, quant={quant or 'bf16'})")
 
     # realistic llava_v1 PAVE prompt
     conv_lib.set_default_conversation("llava_v1")
@@ -220,8 +231,10 @@ def main():
     # compile + warmup. NOTE: on the tunneled 'axon' platform
     # block_until_ready() returns before execution completes, so all timing
     # must force a host readback of a value depending on every iteration.
+    phase("compiling pipeline")
     out = fn(params, images, input_ids, attn)
     float(out.tokens.sum())
+    phase("compile+warmup done; timing windows start")
 
     # The tunneled platform has transient slow phases (round-2 driver
     # captured 2.3x the steady-state latency for the identical binary).

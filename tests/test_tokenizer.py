@@ -119,3 +119,23 @@ def test_build_tokenizer_fallback():
     tok = build_tokenizer("/nonexistent/path", model_max_length=128)
     assert isinstance(tok, ByteTokenizer)
     assert tok.model_max_length == 128
+
+
+def test_pave_bpe_asset_loads():
+    """The tracked PAVE BPE asset (walkgpt_tpu/data/assets) loads without a
+    corpus rebuild and serves the full special-token protocol — this is the
+    tokenizer bench.py uses on fresh clones."""
+    pytest.importorskip("tokenizers")
+    import os
+    import walkgpt_tpu
+    asset = os.path.join(os.path.dirname(walkgpt_tpu.__file__), "data",
+                         "assets", "pave_bpe_tokenizer.json")
+    assert os.path.exists(asset), asset
+    from walkgpt_tpu.data.bpe_tokenizer import BPETokenizer
+    tok = BPETokenizer.load(asset, model_max_length=4096)
+    st = setup_walkgpt_tokens(tok)
+    assert tok.convert_tokens_to_ids("[SEG]") == st.seg_token_idx
+    ids = tok.encode("the sidewalk is [p] accessible [/p][SEG]")
+    assert st.seg_token_idx in ids
+    spliced = tokenizer_image_token("<im_start><image><im_end>\nq", tok)
+    assert IMAGE_TOKEN_INDEX in spliced
