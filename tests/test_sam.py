@@ -159,3 +159,34 @@ def test_encoder_fast_gelu_close_to_exact():
     fast = sam_encoder.apply(params, SAM_VIT_TINY, x, fast_gelu=True)
     diff = float(np.max(np.abs(np.asarray(exact) - np.asarray(fast))))
     assert 0 < diff < 5e-2, diff
+
+
+def test_encoder_stack_for_scan_equivalence():
+    """stack_for_scan's scanned windowed runs compute exactly what the
+    inlined block loop computes (same params, same input), plain and
+    flash/fast variants, with and without remat."""
+    import dataclasses
+    from walkgpt_tpu.ops import quant
+    cfg = dataclasses.replace(SAM_VIT_TINY, depth=6, global_attn_indexes=(2, 5))
+    assert sam_encoder._scan_plan(cfg) == [
+        (cfg.window_size, 2), (0, 1), (cfg.window_size, 2), (0, 1)]
+    params = sam_encoder.init(jax.random.PRNGKey(1), cfg)
+    # non-zero rel-pos/pos tables so the bias paths are exercised
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jnp.arange(x.size, dtype=x.dtype).reshape(x.shape)
+        if x.ndim >= 2 else x, params)
+    stacked = sam_encoder.stack_for_scan(params, cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    for kw in ({}, {"use_flash": True, "fast_windowed": True},
+               {"remat": True}):
+        a = sam_encoder.apply(params, cfg, x, **kw)
+        b = sam_encoder.apply(stacked, cfg, x, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    # int8-quantized block leaves stack too (the bench's sam_int8 layout)
+    qp = quant.quantize_sam_encoder({"image_encoder": params})["image_encoder"]
+    qs = sam_encoder.stack_for_scan(qp, cfg)
+    a = sam_encoder.apply(qp, cfg, x)
+    b = sam_encoder.apply(qs, cfg, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)

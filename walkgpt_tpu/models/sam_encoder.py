@@ -170,6 +170,55 @@ def _block(p, x: jnp.ndarray, cfg: SAMEncoderConfig, window: int,
     return x + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], x), act=act)
 
 
+def _scan_plan(cfg: SAMEncoderConfig):
+    """Static run-length plan over the block sequence: [(window, n), ...] —
+    maximal runs of consecutive windowed blocks (window=window_size) broken
+    by the global-attention blocks (window=0, n=1). ViT-H ({7,15,23,31}
+    global) -> [(14,7),(0,1)] x 4."""
+    plan = []
+    i = 0
+    while i < cfg.depth:
+        if i in cfg.global_attn_indexes:
+            plan.append((0, 1))
+            i += 1
+        else:
+            j = i
+            while j < cfg.depth and j not in cfg.global_attn_indexes:
+                j += 1
+            plan.append((cfg.window_size, j - i))
+            i = j
+    return plan
+
+
+def stack_for_scan(params, cfg: SAMEncoderConfig):
+    """Re-layout encoder params so apply() runs each windowed-block run as
+    ONE lax.scan over stacked weights instead of inlining every block into
+    the HLO. All windowed blocks share one compiled body, which cuts the
+    XLA compile time of the e2e pipeline (ViT-H inlines 28 windowed-block
+    copies otherwise); the math is identical. Accepts plain or quantized
+    (ops/quant.py) block leaves — any array pytree stacks. The stacked
+    layout is single-chip/inference oriented: the megatron sharding rules
+    in parallel/sharding.py address per-block paths and do not apply to it.
+    Returns a new params dict with "blocks" replaced by "block_runs", one
+    entry per _scan_plan run (stacked leading axis n for runs, the plain
+    block dict for the n=1 globals)."""
+    blocks = params["blocks"]
+    assert len(blocks) == cfg.depth, (len(blocks), cfg.depth)
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    runs = []
+    i = 0
+    for window, n in _scan_plan(cfg):
+        group = blocks[i:i + n]
+        i += n
+        if n == 1:
+            runs.append(group[0])
+        else:
+            runs.append(jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *group))
+    out["block_runs"] = runs
+    return out
+
+
 def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray, *,
           use_flash: bool = False, remat: bool = False,
           fast_windowed: bool = False, fast_gelu: bool = False) -> jnp.ndarray:
@@ -179,14 +228,28 @@ def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray, *,
     x = nn.conv2d(params["patch_embed"], images,
                   stride=(cfg.patch_size, cfg.patch_size), padding="VALID")
     x = x + params["pos_embed"].astype(x.dtype)
-    for i, blk in enumerate(params["blocks"]):
-        window = 0 if i in cfg.global_attn_indexes else cfg.window_size
-        block_fn = _block
-        if remat:
-            block_fn = jax.checkpoint(
-                _block, policy=jax.checkpoint_policies.nothing_saveable,
-                static_argnums=(2, 3, 4, 5, 6))
-        x = block_fn(blk, x, cfg, window, use_flash, fast_windowed, fast_gelu)
+    block_fn = _block
+    if remat:
+        block_fn = jax.checkpoint(
+            _block, policy=jax.checkpoint_policies.nothing_saveable,
+            static_argnums=(2, 3, 4, 5, 6))
+    if "block_runs" in params:
+        # stacked layout (stack_for_scan): one compiled body per windowed
+        # run instead of depth inlined block copies
+        for (window, n), run in zip(_scan_plan(cfg), params["block_runs"]):
+            if n == 1:
+                x = block_fn(run, x, cfg, window, use_flash, fast_windowed,
+                             fast_gelu)
+            else:
+                def body(h, p, _w=window):
+                    return block_fn(p, h, cfg, _w, use_flash, fast_windowed,
+                                    fast_gelu), None
+                x, _ = jax.lax.scan(body, x, run)
+    else:
+        for i, blk in enumerate(params["blocks"]):
+            window = 0 if i in cfg.global_attn_indexes else cfg.window_size
+            x = block_fn(blk, x, cfg, window, use_flash, fast_windowed,
+                         fast_gelu)
     # neck in fp32 to mirror the reference's overflow guard (image_encoder.py:118-124)
     n = params["neck"]
     y = x.astype(jnp.float32)
