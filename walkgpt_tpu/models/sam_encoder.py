@@ -236,7 +236,15 @@ def apply(params, cfg: SAMEncoderConfig, images: jnp.ndarray, *,
     if "block_runs" in params:
         # stacked layout (stack_for_scan): one compiled body per windowed
         # run instead of depth inlined block copies
-        for (window, n), run in zip(_scan_plan(cfg), params["block_runs"]):
+        plan = _scan_plan(cfg)
+        assert len(params["block_runs"]) == len(plan), (
+            "stacked params were built under a different cfg "
+            f"({len(params['block_runs'])} runs vs plan {plan})")
+        for (window, n), run in zip(plan, params["block_runs"]):
+            if n > 1:
+                lead = jax.tree_util.tree_leaves(run)[0].shape[0]
+                assert lead == n, (
+                    f"stacked run has leading dim {lead}, plan expects {n}")
             if n == 1:
                 x = block_fn(run, x, cfg, window, use_flash, fast_windowed,
                              fast_gelu)
