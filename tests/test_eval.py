@@ -130,6 +130,31 @@ def test_eval_cli_smoke(tmp_path):
     assert "| Answer:" in data[0]["response"]
 
 
+def test_eval_cli_mesh_smoke(tmp_path):
+    """--mesh dp,tp streaming eval (BASELINE config 5) on the real manifest:
+    the sharded program must produce the same responses artifact as the
+    single-device CLI (token-identical greedy under GSPMD)."""
+    import json
+    import os
+    if not os.path.exists("/root/reference/datasets/val.jsonl"):
+        pytest.skip("reference manifest absent")
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from walkgpt_tpu.runtime.evaluate import main
+    base = ["--val_dataset", "PAVE|val",
+            "--dataset_dir", "/root/reference/datasets",
+            "--model_size", "tiny", "--max_samples", "2",
+            "--max_new_tokens", "4", "--precision", "fp32",
+            "--val_batch_size", "2", "--no_console_text"]
+    out_1 = str(tmp_path / "single.json")
+    main(base + ["--save_responses_path", out_1])
+    out_m = str(tmp_path / "mesh.json")
+    res = main(base + ["--mesh", "2,4", "--save_responses_path", out_m])
+    assert set(res) >= {"giou", "ciou", "ap50"}
+    assert json.load(open(out_m)) == json.load(open(out_1))
+
+
 def test_iou_accumulator_matches_reference_recomputation():
     """Fixture-match IoUAccumulator against a verbatim torch re-computation of
     the reference's validate() aggregation (train_walkgpt.py:1180-1299):

@@ -76,6 +76,58 @@ def test_13b_forward_lowering_tp8():
     assert "sharding" in text
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_13b_eval_graph_lowering_tp8():
+    """The INFERENCE graph (generate_and_segment: SAM encode -> MSQP ->
+    splice -> prefill -> greedy decode over a mesh-sharded KV cache ->
+    CTP -> mask decode) jit-lowers at 13B over dp=1 x tp=8 with abstract
+    weights — BASELINE config 5's sharded streaming eval, validated for
+    sharding/collective consistency without materializing 26 GB."""
+    from walkgpt_tpu.models import walkgpt as wg
+    from walkgpt_tpu.parallel import infer, sharding as shd2
+
+    cfg = walkgpt_13b_config().replace(kv_quant_cache="int8",
+                                       use_flash_attention=False)
+    mesh = shd.make_mesh(dp=1, tp=8)
+    constrain = shd2.cache_constrainer(mesh)
+
+    params_abs = jax.eval_shape(
+        lambda k: walkgpt.init(k, cfg, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    p_specs = shd.param_pspecs(params_abs, tp=8)
+
+    def shard_abs(tree, specs):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=NamedSharding(mesh, s)),
+            tree, specs)
+
+    params_sharded = shard_abs(params_abs, p_specs)
+    s = cfg.sam.img_size
+    r, t, max_segs = 2, 384, 16
+    rep = NamedSharding(mesh, P())
+    batch = (
+        jax.ShapeDtypeStruct((2, s, s, 3), jnp.bfloat16, sharding=rep),
+        jax.ShapeDtypeStruct((r, t), jnp.int32, sharding=rep),
+        jax.ShapeDtypeStruct((r, t), jnp.bool_, sharding=rep),
+        jax.ShapeDtypeStruct((r,), jnp.int32, sharding=rep),
+        jax.ShapeDtypeStruct((2, 2), jnp.int32, sharding=rep),
+    )
+
+    def gen(params, images, input_ids, attention_mask, row_image_idx,
+            pixel_hw):
+        out = wg.generate_and_segment(
+            params, cfg, images=images, input_ids=input_ids,
+            attention_mask=attention_mask, row_image_idx=row_image_idx,
+            pixel_hw=pixel_hw, max_new_tokens=64, max_segs=max_segs,
+            eos_id=2, cache_constrain=constrain)
+        return out.tokens, out.pred_masks
+
+    lowered = jax.jit(gen).lower(params_sharded, *batch)
+    assert "sharding" in lowered.as_text()
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_13b_layer_slice_executes_tp8():

@@ -486,6 +486,7 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
                          clip_resize_hw: Optional[jnp.ndarray] = None,
                          visual_stream: str = "sam",
                          speculative_k: int = 0,
+                         cache_constrain=None,
                          ) -> EvaluateOutput:
     """The `evaluate` pipeline (model/walkgpt.py:607-746), one compiled graph:
     greedy decode from visual tokens, extract [SEG] predictor hidden states,
@@ -529,14 +530,16 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
             params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
             max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
             kv_quant=cfg.kv_quant_cache, draft_k=speculative_k,
-            prompt_ids=hist_ids, prefill_chunk=cfg.prefill_chunk)
+            prompt_ids=hist_ids, prefill_chunk=cfg.prefill_chunk,
+            cache_constrain=cache_constrain)
     else:
         res = greedy_generate(
             params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
             max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
             kv_quant=cfg.kv_quant_cache, prefill_chunk=cfg.prefill_chunk,
             cache_grow_step=cfg.decode_cache_grow,
-            scan_segment=cfg.decode_scan_segment)
+            scan_segment=cfg.decode_scan_segment,
+            cache_constrain=cache_constrain)
 
     # [SEG] over generated tokens; pred_hidden[t] predicted tokens[t], matching
     # the reference's position-1 indexing (model/walkgpt.py:653-671)

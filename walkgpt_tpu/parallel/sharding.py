@@ -36,20 +36,38 @@ def make_mesh(dp: int, tp: int, *, devices=None) -> Mesh:
 
 
 def _llm_rule(path: str, ndim: int) -> P:
+    # int8-quantized projections ({"w_q", "w_scale"}, ops/quant.py) shard
+    # like their dense "w": w_q carries the same [in, out] layout; the
+    # per-out-channel w_scale follows the OUTPUT axis (sharded only for
+    # column-parallel projections). Packed/fused single-launch formats
+    # (qkv8, qkv4, w_p4, w_p4t) stay replicated — they exist for the
+    # single-chip Pallas decode kernels, whose concatenated/nibble layouts
+    # do not split along tp (mesh inference uses the per-projection paths).
+    if "/qkv8/" in path or "/qkv4/" in path or path.endswith(
+            ("/w_p4", "/w_p4t")):
+        return P()
     if "embed_tokens" in path or "lm_head" in path:
-        return P("tp", None) if ndim == 2 else P()
+        if path.endswith(("/w", "/w_q")):
+            return P("tp", None) if ndim == 2 else P()
+        return P()                         # w_scale etc. replicated
+    if "lora_a" in path or "lora_b" in path:
+        return P()                         # rank-r factors are tiny
     if "/attn/" in path:
-        if path.endswith("/o/w") or path.endswith("/down/w"):
+        if path.endswith(("/o/w", "/down/w", "/o/w_q", "/down/w_q")):
             return P("tp", None)
-        if path.endswith("/w"):
+        if path.endswith(("/w", "/w_q")):
             return P(None, "tp")           # q, k, v column-parallel
+        if path.endswith("/w_scale"):
+            return P() if "/o/" in path else P("tp")
         if path.endswith("/b"):
             return P("tp") if not (path.endswith("/o/b")) else P()
     if "/mlp/" in path:
-        if path.endswith("/down/w") or path.endswith("/fc2/w"):
+        if path.endswith(("/down/w", "/fc2/w", "/down/w_q", "/fc2/w_q")):
             return P("tp", None)
-        if path.endswith("/w"):
+        if path.endswith(("/w", "/w_q")):
             return P(None, "tp")           # gate/up/fc1 column-parallel
+        if path.endswith("/w_scale"):
+            return P() if ("/down/" in path or "/fc2/" in path) else P("tp")
         if path.endswith("/b") and not (path.endswith("down/b") or path.endswith("fc2/b")):
             return P("tp")
     return P()
@@ -57,11 +75,13 @@ def _llm_rule(path: str, ndim: int) -> P:
 
 def _sam_rule(path: str, ndim: int) -> P:
     if "image_encoder" in path:
-        if path.endswith("/qkv/w") or path.endswith("fc1/w"):
+        if path.endswith(("/qkv/w", "fc1/w", "/qkv/w_q", "fc1/w_q")):
             return P(None, "tp")
-        if path.endswith("/qkv/b") or path.endswith("fc1/b"):
+        if path.endswith(("/qkv/b", "fc1/b")):
             return P("tp")
-        if path.endswith("/proj/w") or path.endswith("fc2/w"):
+        if path.endswith(("/qkv/w_scale", "fc1/w_scale")):
+            return P("tp")
+        if path.endswith(("/proj/w", "fc2/w", "/proj/w_q", "fc2/w_q")):
             return P("tp", None)
     return P()
 
@@ -145,6 +165,51 @@ def opt_state_pspecs(opt_state: Any, params_spec: Any, params: Any, *,
 def shard_tree(tree: Any, mesh: Mesh, specs: Any) -> Any:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
+
+
+def kv_cache_pspecs(cache, *, tp: int, dp: int) -> Any:
+    """PartitionSpecs for a decode KV cache dict (models/llm.init_kv_cache).
+
+    Heads layout k/v [layers, B, n_kv, T, D] -> (-, dp, tp, -, -): the batch
+    splits over dp and the kv heads over tp — each device's attention reads
+    only its own head/batch shard, so decode cache traffic scales 1/(dp*tp).
+    Flat layout k/v [layers, B, T, n_kv*D] -> (-, dp, -, tp) (the contiguous
+    head-major lane axis splits over tp). Scales [layers, B, n_kv, T] ->
+    (-, dp, tp, -) in both layouts. Axes that do not divide stay unsharded.
+    """
+    def spec(name: str, leaf) -> P:
+        shape = getattr(leaf, "shape", ())
+        if len(shape) == 5:                       # heads-layout k/v
+            names = [None, "dp", "tp", None, None]
+        elif name.endswith("_scale"):             # [layers, B, n_kv, T]
+            names = [None, "dp", "tp", None]
+        elif len(shape) == 4:                     # flat [layers, B, T, n_kv*D]
+            names = [None, "dp", None, "tp"]
+        else:
+            names = [None] * len(shape)
+        for ax, n in enumerate(names):
+            if n == "tp" and shape[ax] % max(tp, 1):
+                names[ax] = None
+            if n == "dp" and shape[ax] % max(dp, 1):
+                names[ax] = None
+        return P(*names)
+    return {k: spec(k, v) for k, v in cache.items()}
+
+
+def cache_constrainer(mesh: Mesh, *, tp: Optional[int] = None,
+                      dp: Optional[int] = None):
+    """fn(cache) -> cache applying kv_cache_pspecs sharding constraints —
+    passed to runtime/generate.greedy_generate(cache_constrain=...) so the
+    decode cache's mesh layout is pinned rather than left to GSPMD
+    propagation (the scan carry inherits it for every step)."""
+    tp = tp or mesh.shape.get("tp", 1)
+    dp = dp or mesh.shape.get("dp", 1)
+
+    def constrain(cache):
+        specs = kv_cache_pspecs(cache, tp=tp, dp=dp)
+        return {k: jax.lax.with_sharding_constraint(
+            v, NamedSharding(mesh, specs[k])) for k, v in cache.items()}
+    return constrain
 
 
 def seq_constrainer(mesh: Mesh, *, batch_axis: str = "dp",

@@ -101,6 +101,17 @@ def parse_args(argv):
                         "(model/walkgpt.py:629-637 intent)")
     p.add_argument("--max_samples", default=-1, type=int,
                    help="limit evaluated samples (smoke runs)")
+    p.add_argument("--mesh", default="",
+                   help="sharded inference over a device mesh: 'dp,tp' "
+                        "(e.g. '2,4' = 2-way data x 4-way tensor parallel "
+                        "over 8 chips). Shards the SAM/LLM towers "
+                        "(megatron rules), the batch, and the decode KV "
+                        "cache (kv heads over tp, rows over dp) inside ONE "
+                        "jitted program — BASELINE config 5's streaming "
+                        "sharded eval; token-identical to single-device "
+                        "(tests/test_infer_sharded.py). --val_batch_size "
+                        "must be a multiple of dp. tp>1 uses the XLA "
+                        "attention path (parallel/infer.mesh_config)")
     p.add_argument("--log_base_dir", default="./runs")
     p.add_argument("--exp_name", default="walkgpt_eval")
     p.add_argument("--save_responses_path", default="")
@@ -243,13 +254,30 @@ def decode_answer(tokenizer, token_row: np.ndarray, length: int) -> str:
     return text.replace("\n", " ").replace("  ", " ").strip()
 
 
-def _jit_caches(cfg):
+def _jit_caches(cfg, mesh=None):
     """Shape-bucketed jits for the eval loops: prepare_batch buckets sequence
     lengths (x64) and seg counts (x8), so a handful of XLA programs serve the
-    whole dataset instead of eager per-op dispatch."""
+    whole dataset instead of eager per-op dispatch.
+
+    mesh: optional jax.sharding.Mesh — both programs then run GSPMD-sharded
+    (params under parallel/sharding.param_pspecs, batch axes over 'dp', the
+    decode KV cache pinned via cache_constrainer)."""
     import functools
     import jax
     from ..models import walkgpt
+
+    mesh_sh = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import sharding as shd
+        mesh_sh = {
+            "dp": NamedSharding(mesh, P("dp")),
+            "rep": NamedSharding(mesh, P()),
+            "pspec_fn": lambda tree: jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s),
+                shd.param_pspecs(tree, tp=mesh.shape.get("tp", 1))),
+            "cache_constrain": shd.cache_constrainer(mesh),
+        }
 
     @functools.lru_cache(maxsize=16)
     def fwd(max_segs):
@@ -271,6 +299,19 @@ def _jit_caches(cfg):
                                         row_image_idx, pixel_hw)
             return out, counts
         from ..core.xla_opts import decode_compiler_options
+        if mesh is not None:
+            jitted = {}
+
+            def wrapper(params, *args):
+                if "fn" not in jitted:
+                    dp, rep = mesh_sh["dp"], mesh_sh["rep"]
+                    in_sh = (mesh_sh["pspec_fn"](params),
+                             dp, dp, dp, dp, dp, rep, dp)
+                    jitted["fn"] = jax.jit(
+                        f, in_shardings=in_sh, out_shardings=rep,
+                        compiler_options=decode_compiler_options())
+                return jitted["fn"](params, *args)
+            return wrapper
         return jax.jit(f, compiler_options=decode_compiler_options())
 
     @functools.lru_cache(maxsize=16)
@@ -284,14 +325,27 @@ def _jit_caches(cfg):
                 pixel_hw=pixel_hw, max_new_tokens=max_new_tokens,
                 max_segs=max_segs, eos_id=eos_id,
                 images_clip=images_clip, clip_resize_hw=clip_resize_hw,
-                visual_stream=visual_stream, speculative_k=speculative_k)
+                visual_stream=visual_stream, speculative_k=speculative_k,
+                cache_constrain=mesh_sh.get("cache_constrain"))
         from ..core.xla_opts import decode_compiler_options
+        if mesh is not None:
+            jitted = {}
+
+            def wrapper(params, *args, **kw):
+                if "fn" not in jitted:
+                    dp, rep = mesh_sh["dp"], mesh_sh["rep"]
+                    in_sh = (mesh_sh["pspec_fn"](params), dp, dp, dp, dp, dp)
+                    jitted["fn"] = jax.jit(
+                        g, in_shardings=in_sh, out_shardings=rep,
+                        compiler_options=decode_compiler_options())
+                return jitted["fn"](params, *args, **kw)
+            return wrapper
         return jax.jit(g, compiler_options=decode_compiler_options())
 
     return fwd, gen
 
 
-def validate(args, cfg, params, tokenizer, dataset, logger=print):
+def validate(args, cfg, params, tokenizer, dataset, logger=print, mesh=None):
     import jax
     import jax.numpy as jnp
     from ..data.collate import collate_batch
@@ -302,7 +356,7 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print):
 
     from ..data.prefetch import prefetch_map, shard_indices
 
-    fwd_cache, gen_cache = _jit_caches(cfg)
+    fwd_cache, gen_cache = _jit_caches(cfg, mesh=mesh)
 
     acc = IoUAccumulator()
     depth = DepthAccuracy()
@@ -633,7 +687,23 @@ def main(argv=None):
                               use_mm_start_end=args.use_mm_start_end)
 
     cfg = build_config(args, st.seg_token_idx)
-    params = build_model(args, cfg)
+    mesh = None
+    if getattr(args, "mesh", ""):
+        import jax
+        from ..parallel import infer, sharding as shd
+        dp, tp = (int(x) for x in args.mesh.replace("dp", "").replace(
+            "tp", "").split(","))
+        assert max(1, args.val_batch_size) % dp == 0, (
+            f"--val_batch_size {args.val_batch_size} must be a multiple of "
+            f"dp={dp}")
+        mesh = shd.make_mesh(dp=dp, tp=tp)
+        cfg = infer.mesh_config(cfg, tp=tp)
+        params = build_model(args, cfg)
+        params = infer.shard_params(params, mesh)
+        print(f"mesh inference: dp={dp} x tp={tp} over "
+              f"{dp * tp} of {len(jax.devices())} devices")
+    else:
+        params = build_model(args, cfg)
 
     name = args.val_dataset.split("|")[0]
     split = args.val_dataset.split("|")[1] if "|" in args.val_dataset else "val"
@@ -664,7 +734,8 @@ def main(argv=None):
     if name == "MultiReasonSeg":
         res, text_log = ar_validate(args, cfg, params, tokenizer, dataset)
     else:
-        res, text_log = validate(args, cfg, params, tokenizer, dataset)
+        res, text_log = validate(args, cfg, params, tokenizer, dataset,
+                                 mesh=mesh)
 
     if args.save_responses_path:
         os.makedirs(os.path.dirname(args.save_responses_path) or ".",

@@ -127,12 +127,17 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                     flash_fn=None, kv_quant="",
                     prefill_chunk: int = 0,
                     cache_grow_step: int = 0,
-                    scan_segment: int = 256) -> GenerateResult:
+                    scan_segment: int = 256,
+                    cache_constrain=None) -> GenerateResult:
     """inputs_embeds: [B, T, H] right-padded prompt embeddings;
     attention_mask: [B, T] bool. logits_mask: optional [V] bool of allowed
     tokens (True = allowed) applied at every step. kv_quant stores the KV
     cache as int8 (per-row scales) to halve decode-time cache reads.
     prefill_chunk bounds prefill activation memory (see _prefill).
+    cache_constrain: optional fn(cache) -> cache applying mesh sharding
+    constraints to the KV cache (parallel/sharding.cache_constrainer) —
+    pins the decode cache's dp/tp layout for sharded inference; the scan
+    carry inherits it for every step.
 
     cache_grow_step > 0 runs the decode as SEQUENTIAL scan segments over ONE
     full-length cache allocation: segment k's attention dot reads only the
@@ -189,10 +194,14 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                                  quant=kv_quant, layout=layout)
 
     # ---- prefill ----
+    if cache_constrain is not None:
+        kv_cache = cache_constrain(kv_cache)
     prefill_hidden, kv_cache = _prefill(
         params, cfg, inputs_embeds, attention_mask, kv_cache, flash_fn,
         prefill_chunk)
     kv_cache = _pad_cache_len(kv_cache, max_len)
+    if cache_constrain is not None:
+        kv_cache = cache_constrain(kv_cache)
     lengths0 = attention_mask.astype(jnp.int32).sum(-1)            # [B]
     last_idx = jnp.maximum(lengths0 - 1, 0)
     last_hidden = prefill_hidden[jnp.arange(b), last_idx]           # [B, H]
@@ -313,7 +322,8 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                          prompt_ids: Optional[jnp.ndarray] = None,
                          logits_mask: Optional[jnp.ndarray] = None,
                          flash_fn=None, kv_quant="",
-                         prefill_chunk: int = 0) -> GenerateResult:
+                         prefill_chunk: int = 0,
+                         cache_constrain=None) -> GenerateResult:
     """Greedy decode with prompt-lookup speculative verification — TOKEN-
     IDENTICAL to greedy_generate by construction (every emitted token is the
     model's own argmax given its true prefix); only the schedule differs:
@@ -333,10 +343,14 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     kv_cache = llm.init_kv_cache(cfg, b, t, dtype=inputs_embeds.dtype,
                                  quant=kv_quant)
 
+    if cache_constrain is not None:
+        kv_cache = cache_constrain(kv_cache)
     prefill_hidden, kv_cache = _prefill(
         params, cfg, inputs_embeds, attention_mask, kv_cache, flash_fn,
         prefill_chunk)
     kv_cache = _pad_cache_len(kv_cache, max_len)
+    if cache_constrain is not None:
+        kv_cache = cache_constrain(kv_cache)
     lengths0 = attention_mask.astype(jnp.int32).sum(-1)
     last_hidden = prefill_hidden[jnp.arange(b), jnp.maximum(lengths0 - 1, 0)]
 
