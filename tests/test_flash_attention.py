@@ -544,3 +544,59 @@ def test_fused_layer_tail_matches_unfused():
         r = np.asarray(y_ref, np.float32)
         rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-9)
         assert rel < 2e-2, (pack4, rel)
+
+
+@pytest.mark.parametrize("pack4", [False, True])
+@pytest.mark.parametrize("n_kv", [2, 4])
+def test_decode_attention_q_chunk_matches_dequantized_mha(pack4, n_kv):
+    """Chunk variant of the banded quantized decode kernel (speculative
+    verification): Tc query tokens over the flat int8/int4 cache == causal
+    masked mha over the explicitly dequantized cache, with per-row cache
+    lengths and the within-chunk causal rule."""
+    from walkgpt_tpu.ops.flash_attention import decode_attention_q_chunk
+    from walkgpt_tpu.models.llm import _quant_rows, _quant_pack4_flat
+    b, h, d, l, tc = 2, 4, 8, 24, 3
+    kd = n_kv * d
+    rep = h // n_kv
+    q = rand(b, tc, h * d, seed=110)
+    k = rand(b, l, n_kv, d, seed=111)
+    v = rand(b, l, n_kv, d, seed=112)
+    cache_len = jnp.array([4, 9], jnp.int32)    # pre-chunk lengths per row
+    if pack4:
+        kq, ks = _quant_pack4_flat(k)
+        vq, vs = _quant_pack4_flat(v)
+
+        def unpack(z):
+            z32 = np.asarray(z).astype(np.int32)
+            lo = ((z32 << 28) >> 28).astype(np.float32)
+            hi = (z32 >> 4).astype(np.float32)
+            return np.concatenate([lo, hi], axis=-1).reshape(
+                z.shape[:-1] + (n_kv, d))
+        kd_ref = unpack(kq) * np.asarray(ks, np.float32)[..., None]
+        vd_ref = unpack(vq) * np.asarray(vs, np.float32)[..., None]
+        width = kd // 2
+    else:
+        kq, ks = _quant_rows(k, jnp.int8)
+        vq, vs = _quant_rows(v, jnp.int8)
+        kd_ref = np.asarray(kq, np.float32) * np.asarray(ks, np.float32)
+        vd_ref = np.asarray(vq, np.float32) * np.asarray(vs, np.float32)
+        ks, vs = ks[..., 0], vs[..., 0]
+        width = kd
+    kbuf = jnp.asarray(kq).reshape(b, l, width)[None]
+    vbuf = jnp.asarray(vq).reshape(b, l, width)[None]
+    ksb = jnp.asarray(ks).transpose(0, 2, 1)[None]
+    vsb = jnp.asarray(vs).transpose(0, 2, 1)[None]
+    got = decode_attention_q_chunk(q, kbuf, ksb, vbuf, vsb, cache_len,
+                                   n_kv=n_kv, head_dim=d, pack4=pack4,
+                                   layer=0, block=8)
+    # reference: causal mask pos < cl + t + 1 per (row, chunk position)
+    kh = jnp.asarray(kd_ref).transpose(0, 2, 1, 3)
+    vh = jnp.asarray(vd_ref).transpose(0, 2, 1, 3)
+    pos = jnp.arange(l)[None, None, :]
+    tt = jnp.arange(tc)[None, :, None]
+    mask = pos < cache_len[:, None, None] + tt + 1       # [B, Tc, L]
+    qh = q.reshape(b, tc, h, d).transpose(0, 2, 1, 3)    # [B, H, Tc, D]
+    ref = mha(qh, jnp.repeat(kh, rep, 1), jnp.repeat(vh, rep, 1),
+              mask=mask[:, None])                        # [B, H, Tc, D]
+    got_h = np.asarray(got).reshape(b, tc, h, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got_h, np.asarray(ref), rtol=2e-2, atol=2e-2)

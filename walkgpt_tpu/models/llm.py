@@ -652,8 +652,14 @@ def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
     inputs_embeds: [B, T, H]; cache_len: [B] int32 — first write position per
     row (token t lands at cache_len + t). Attention of chunk position t sees
     cache slots [0, cache_len + t]. Returns (hidden [B, T, H], cache).
-    Supports rope + heads-layout caches (fp or int8/int4 quant)."""
-    assert not _cache_is_flat(kv_cache), "flat cache is single-token only"
+    Supports rope models on heads-layout caches (fp or int8/int4 quant) AND
+    quantized flat caches (int8_flat/int4_flat — the production decode
+    format; chunk attention runs the banded Pallas kernel
+    ops/flash_attention.decode_attention_q_chunk, which streams each cache
+    block ONCE for the whole chunk)."""
+    if _cache_is_flat(kv_cache):
+        return _decode_chunk_flat(params, cfg, kv_cache, inputs_embeds,
+                                  cache_len)
     b, t, _ = inputs_embeds.shape
     l_max = kv_cache["k"].shape[3]
     positions = cache_len[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
@@ -701,6 +707,70 @@ def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
         att = mha(q, _repeat_kv(k_cache, n_rep), _repeat_kv(v_cache, n_rep),
                   mask=mask)
         x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
+        x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
+    return _norm(params["final_norm"], x, cfg), out_cache
+
+
+def _decode_chunk_flat(params: Params, cfg: LLMConfig, kv_cache: Params,
+                       inputs_embeds: jnp.ndarray, cache_len: jnp.ndarray,
+                       ) -> Tuple[jnp.ndarray, Params]:
+    """decode_chunk over the QUANTIZED flat cache (int8 rows or nibble-packed
+    int4): quantize + scatter the chunk's K/V at per-row compact slots
+    [cache_len, cache_len + T), then one banded-kernel chunk-attention pass
+    per layer. The per-row scatter costs once per CHUNK (not per token), so
+    it amortizes over accepted speculative runs; the cache blocks stream
+    once per chunk at full flat-row bandwidth."""
+    assert "k_scale" in kv_cache, \
+        "flat chunk decode needs a quantized flat cache (int8_flat/int4_flat)"
+    if cfg.pos_emb == "alibi":
+        raise NotImplementedError("speculative chunk decode: rope models")
+    b, t, _ = inputs_embeds.shape
+    kd = kv_cache["k"].shape[-1]
+    pack4 = kd == (cfg.num_kv_heads * cfg.head_dim) // 2
+    positions = cache_len[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    rot_dim = int(cfg.head_dim * cfg.rope_pct)
+    cos, sin = rope_tables(cfg, positions)
+    batch_idx = jnp.arange(b)[:, None]
+    from ..ops.flash_attention import decode_attention_q_chunk
+    x = inputs_embeds
+    out_cache = dict(kv_cache)
+    for i, layer in enumerate(params["layers"]):
+        h_in = _norm(layer["input_norm"], x, cfg)
+        qp, kp, vp = _qkv_proj(layer["attn"], h_in, cfg)
+        q = split_heads(qp, cfg.num_heads)
+        k1 = split_heads(kp, cfg.num_kv_heads)
+        v1 = split_heads(vp, cfg.num_kv_heads)
+        q = apply_rope(q, cos, sin, rot_dim)
+        k1 = apply_rope(k1, cos, sin, rot_dim)
+        kt = jnp.swapaxes(k1, 1, 2)                    # [B, T, n_kv, D]
+        vt = jnp.swapaxes(v1, 1, 2)
+        if pack4:
+            kq, ks = _quant_pack4_flat(kt)             # [B,T,kd/2], [B,T,n_kv]
+            vq, vs = _quant_pack4_flat(vt)
+        else:
+            kq, ks = _quant_rows(kt, jnp.int8)
+            vq, vs = _quant_rows(vt, jnp.int8)
+            kq = kq.reshape(b, t, kd)
+            vq = vq.reshape(b, t, kd)
+            ks, vs = ks[..., 0], vs[..., 0]
+        # per-row scatter ONCE per chunk (out-of-budget slots past the cache
+        # end drop silently — those chunk positions are never emitted)
+        out_cache["k"] = out_cache["k"].at[i, batch_idx, positions].set(
+            kq.astype(out_cache["k"].dtype))
+        out_cache["v"] = out_cache["v"].at[i, batch_idx, positions].set(
+            vq.astype(out_cache["v"].dtype))
+        out_cache["k_scale"] = out_cache["k_scale"].at[
+            i, batch_idx, :, positions].set(ks.astype(
+                out_cache["k_scale"].dtype))
+        out_cache["v_scale"] = out_cache["v_scale"].at[
+            i, batch_idx, :, positions].set(vs.astype(
+                out_cache["v_scale"].dtype))
+        att = decode_attention_q_chunk(
+            merge_heads(q), out_cache["k"], out_cache["k_scale"],
+            out_cache["v"], out_cache["v_scale"], cache_len,
+            n_kv=cfg.num_kv_heads, head_dim=cfg.head_dim, pack4=pack4,
+            layer=i)
+        x = x + nn.linear(layer["attn"]["o"], att)
         x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
     return _norm(params["final_norm"], x, cfg), out_cache
 

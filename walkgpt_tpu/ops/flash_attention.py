@@ -1516,6 +1516,273 @@ def _decode_attn_q_block(q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
         acc_s[r:r + 1, :] = acc_s[r:r + 1, :] * alpha_exp + y
 
 
+def _decode_attn_qc_kernel(cl_ref, q_ref, qs_ref, k_ref, ks_ref, v_ref,
+                           vs_ref, o_ref, m_s, l_s, acc_s,
+                           *, h: int, n_kv: int, d: int, tc: int,
+                           scale: float, pack4: bool, bl: int,
+                           qdot8: bool):
+    """CHUNK variant of the banded quantized decode attention: Tc query
+    tokens (the speculative-verification chunk, runtime/generate.
+    speculative_generate) attend the flat quantized cache in ONE pass —
+    the cache blocks stream ONCE per chunk instead of once per token, which
+    is the whole point of speculation on a weight/cache-read-bound decode.
+
+    Layout: the banded query matrix grows Tc x — row t*n_kv + kv of
+    q_ref[r] holds query (token t, head kv*n_rep + r) in lane block kv*D —
+    so the scores dot stays ONE MXU op per (pass, block):
+        S = K_blk [bl, kd] @ Q_band^T [kd, tc*n_kv]        -> [bl, tc*n_kv]
+    The causal-within-chunk rule is enforced in-kernel: key slot p is valid
+    for chunk token t iff p < cl + t + 1, where cl = cl_ref[ib] is the
+    row's pre-chunk cache length (caches are COMPACT per row here — the
+    chunk K/V were scattered at [cl, cl+tc) before the call, so there are
+    no pad holes). PV runs as P^T [tc*n_kv, bl] @ V_blk [bl, kd]; the band
+    diagonal per t extracts with a [tc, n_kv, kd] band-mask reduce.
+
+    qdot8=True mirrors the single-token kernel's int8-MXU scores dot
+    (_decode_attn_q8_kernel) with the SAME per-head q quantization and the
+    SAME scale-fold expression — the int8 x int8 -> int32 dot is exact
+    integer arithmetic, so a chunk position's scores bit-match the
+    single-token kernel's for the same (position, cache): that is what
+    keeps speculative decode token-identical to wave greedy under the
+    production DECODE_QDOT8 default (tests/test_llm.py
+    test_speculative_flat_cache_token_identical)."""
+    jk = pl.program_id(1)
+    nb = pl.num_programs(1)
+    n_rep = h // n_kv
+    kd = n_kv * d
+
+    @pl.when(jk == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    ib = pl.program_id(0)
+    cl = cl_ref[ib]
+    nvb = jnp.minimum((cl + tc + bl - 1) // bl, nb)
+
+    @pl.when(jk < nvb)
+    def _active():
+        k8 = k_ref[:]                              # [bl, kd(/2)] int8
+        v8 = v_ref[:]
+        ks = ks_ref[:].astype(jnp.float32)         # [n_kv, bl]
+        vs = vs_ref[:].astype(jnp.float32)
+        if pack4:
+            def unpack(z8, dtype):
+                z32 = z8.astype(jnp.int32)
+                return (((z32 << 28) >> 28).astype(dtype),
+                        (z32 >> 4).astype(dtype))
+            klo, khi = unpack(k8, jnp.int8 if qdot8 else jnp.bfloat16)
+            vlo, vhi = unpack(v8, jnp.bfloat16)
+
+        # [bl, tc*n_kv] masks/scales: column j = (t = j // n_kv, kv = j % n_kv)
+        pos = jk * bl + jax.lax.broadcasted_iota(jnp.int32, (bl, tc * n_kv), 0)
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (bl, tc * n_kv), 1) // n_kv
+        valid = pos < cl + col_t + 1
+        ks_tile = jnp.concatenate([ks.T] * tc, axis=1)     # [bl, tc*n_kv]
+        vs_tile = jnp.concatenate([vs.T] * tc, axis=1)
+
+        lane_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 1) // d
+        row_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 0)
+        r_mat = (lane_kv == row_kv).astype(jnp.bfloat16)   # [n_kv, kd] 0/1
+        band_f32 = r_mat.astype(jnp.float32)
+
+        for r in range(n_rep):
+            q_band = q_ref[r]                # [tc*n_kv, kd] bf16 or int8
+            if qdot8:
+                # exact int8 x int8 -> int32 scores + the single-token
+                # kernel's scale fold: s_f32 * (ks * (qs * scale))
+                if pack4:
+                    s = jax.lax.dot_general(
+                        klo, q_band[:, : kd // 2], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    s = s + jax.lax.dot_general(
+                        khi, q_band[:, kd // 2:], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                else:
+                    s = jax.lax.dot_general(
+                        k8, q_band, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                s = s.astype(jnp.float32) * (
+                    ks_tile * (qs_ref[r:r + 1] * scale))
+            else:
+                if pack4:
+                    s = jax.lax.dot_general(
+                        klo, q_band[:, : kd // 2], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = s + jax.lax.dot_general(
+                        khi, q_band[:, kd // 2:], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    s = jax.lax.dot_general(
+                        k8.astype(jnp.bfloat16), q_band,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                s = s * (ks_tile * scale)
+            s = jnp.where(valid, s, NEG_INF)
+            m_old = m_s[r:r + 1]                   # [1, tc*n_kv]
+            l_old = l_s[r:r + 1]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            l_s[r:r + 1] = l_old * alpha + jnp.sum(p, axis=0, keepdims=True)
+            m_s[r:r + 1] = m_new
+            p_s = (p * vs_tile).astype(jnp.bfloat16)
+            if pack4:
+                y_full = jnp.concatenate([
+                    jax.lax.dot_general(p_s, vlo, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32),
+                    jax.lax.dot_general(p_s, vhi, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)],
+                    axis=1)                        # [tc*n_kv, kd]
+            else:
+                y_full = jax.lax.dot_general(
+                    p_s, v8.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            y_t = jnp.sum(y_full.reshape(tc, n_kv, kd) * band_f32[None], 1)
+            alpha_exp = jax.lax.dot_general(
+                alpha.reshape(tc, n_kv).astype(jnp.bfloat16), r_mat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [tc, kd]
+            acc_s[r * tc:(r + 1) * tc] = \
+                acc_s[r * tc:(r + 1) * tc] * alpha_exp + y_t
+
+    @pl.when(jk == nb - 1)
+    def _finish():
+        lane_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 1) // d
+        row_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 0)
+        r_mat = (lane_kv == row_kv).astype(jnp.bfloat16)
+        for r in range(n_rep):
+            l_exp = jax.lax.dot_general(
+                l_s[r].reshape(tc, n_kv).astype(jnp.bfloat16), r_mat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [tc, kd]
+            yr = acc_s[r * tc:(r + 1) * tc] / jnp.maximum(l_exp, 1e-30)
+            if n_rep == 1:
+                o_ref[:] = yr.astype(o_ref.dtype)
+            else:
+                for kv in range(n_kv):
+                    hh = kv * n_rep + r
+                    o_ref[:, hh * d:(hh + 1) * d] = yr[
+                        :, kv * d:(kv + 1) * d].astype(o_ref.dtype)
+
+
+def banded_q_chunk(q, *, n_kv: int, head_dim: int):
+    """Build the Tc-token banded bf16 query matrix for the chunk kernel:
+    out[b, r, t*n_kv + kv, kv*D + dd] = q[b, t, (kv*n_rep + r)*D + dd].
+    q: [B, Tc, H*D] -> [B, n_rep, Tc*n_kv, n_kv*D] bf16."""
+    b, tc, hd = q.shape
+    d = head_dim
+    h = hd // d
+    n_rep = h // n_kv
+    qf = q.astype(jnp.bfloat16).reshape(b, tc, n_kv, n_rep, d)
+    qf = qf.transpose(0, 3, 1, 2, 4)               # [B, n_rep, Tc, n_kv, d]
+    eye = jnp.eye(n_kv, dtype=jnp.bfloat16)[None, None, None, :, :, None]
+    band = (qf[:, :, :, :, None, :] * eye).reshape(
+        b, n_rep, tc * n_kv, n_kv * d)
+    return band
+
+
+def banded_q8_chunk(q, *, n_kv: int, head_dim: int):
+    """Tc-token int8 banded query + per-(token, head) scales — the SAME
+    per-head quantization as banded_q8, so the chunk kernel's int8 scores
+    dot bit-matches the single-token kernel's for a given position.
+    q: [B, Tc, H*D] -> (int8 [B, n_rep, Tc*n_kv, n_kv*D],
+                        f32 scales [B, n_rep, Tc*n_kv])."""
+    b, tc, hd = q.shape
+    d = head_dim
+    h = hd // d
+    n_rep = h // n_kv
+    qf = q.astype(jnp.float32).reshape(b, tc, h, d)
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), -1, keepdims=True),
+                     1e-20) * (1.0 / 127.0)                 # [B, Tc, h, 1]
+    q8 = jnp.round(qf / qs).astype(jnp.int8)
+    q8r = q8.reshape(b, tc, n_kv, n_rep, d).transpose(0, 3, 1, 2, 4)
+    eye8 = jnp.eye(n_kv, dtype=jnp.int8)[None, None, None, :, :, None]
+    band = (q8r[:, :, :, :, None, :] * eye8).reshape(
+        b, n_rep, tc * n_kv, n_kv * d)
+    qs_r = qs[..., 0].reshape(b, tc, n_kv, n_rep).transpose(0, 3, 1, 2)
+    return band, qs_r.reshape(b, n_rep, tc * n_kv).astype(jnp.float32)
+
+
+def decode_attention_q_chunk(q, k_cache, k_scale, v_cache, v_scale,
+                             cache_len, *, n_kv: int, head_dim: int,
+                             pack4: bool = False, layer: int = 0,
+                             block: int = DECODE_BLOCK,
+                             qdot_int8: Optional[bool] = None):
+    """Tc-token chunk attention over a QUANTIZED flat cache (speculative
+    verification). q: [B, Tc, H*D]; cache buffers as decode_attention_q;
+    cache_len: [B] int32 pre-chunk lengths — the chunk's K/V must already
+    sit at compact slots [cache_len, cache_len + Tc) per row, and caches
+    must be COMPACT per row (no pad holes; llm.decode_chunk's layout).
+    Causality inside the chunk (token t sees slots < cache_len + t + 1) is
+    enforced in-kernel. Blocks past ceil((cache_len+Tc)/block) are skipped
+    per row. Returns [B, Tc, H*D] in q.dtype."""
+    b, tc, hd = q.shape
+    l = k_cache.shape[2]
+    d = head_dim
+    h = hd // d
+    kd = k_cache.shape[3]
+    assert kd == n_kv * (d // 2 if pack4 else d), (kd, n_kv, d, pack4)
+    bl = min(block, l)
+    assert l % bl == 0, (l, bl)
+    n_rep = h // n_kv
+    scale = 1.0 / math.sqrt(d)
+    cl = jnp.asarray(cache_len, jnp.int32)
+    if qdot_int8 is None:
+        qdot_int8 = DECODE_QDOT8
+    if qdot_int8:
+        band, qs = banded_q8_chunk(q, n_kv=n_kv, head_dim=d)
+    else:
+        band = banded_q_chunk(q, n_kv=n_kv, head_dim=d)
+        qs = jnp.ones((b, n_rep, tc * n_kv), jnp.float32)
+
+    def kblk(ib, jk, cl_ref):
+        nvb = jnp.minimum((cl_ref[ib] + tc + bl - 1) // bl, l // bl)
+        return (layer, ib, jnp.minimum(jk, nvb - 1), 0)
+
+    def sblk(ib, jk, cl_ref):
+        nvb = jnp.minimum((cl_ref[ib] + tc + bl - 1) // bl, l // bl)
+        return (layer, ib, 0, jnp.minimum(jk, nvb - 1))
+
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_qc_kernel, h=h, n_kv=n_kv, d=d,
+                          tc=tc, scale=scale, pack4=pack4, bl=bl,
+                          qdot8=qdot_int8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, l // bl),
+            in_specs=[
+                pl.BlockSpec((None, n_rep, tc * n_kv, n_kv * d),
+                             lambda ib, jk, cl_ref: (ib, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, n_rep, tc * n_kv),
+                             lambda ib, jk, cl_ref: (ib, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, bl, kd), kblk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, n_kv, bl), sblk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, bl, kd), kblk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, n_kv, bl), sblk,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, tc, hd),
+                                   lambda ib, jk, cl_ref: (ib, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((n_rep, tc * n_kv), jnp.float32),
+                pltpu.VMEM((n_rep, tc * n_kv), jnp.float32),
+                pltpu.VMEM((n_rep * tc, n_kv * d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, tc, hd), q.dtype),
+        interpret=_interpret(),
+    )(cl, band, qs, k_cache, k_scale, v_cache, v_scale)
+    return out
+
+
 def banded_q8(q, *, n_kv: int, head_dim: int):
     """Quantize q per head and pre-build the BANDED int8 query matrices for
     the int8-MXU scores dot (built OUTSIDE the kernel — their block index

@@ -338,10 +338,17 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     the generated text. Returns GenerateResult like greedy_generate."""
     b, t, h = inputs_embeds.shape
     max_len = t + max_new_tokens
-    if kv_quant == "int8_flat":
-        kv_quant = "int8"      # chunk verification needs the heads layout
+    layout = "heads"
+    if kv_quant in ("int8_flat", "int4_flat"):
+        # production flat quantized layout: chunk verification runs the
+        # banded Pallas chunk kernel (decode_attention_q_chunk) — each cache
+        # block streams ONCE per verified chunk, so speculation composes
+        # with the int4/int8 flat cache instead of downgrading it
+        from ..ops.flash_attention import DECODE_BLOCK
+        max_len = -(-max_len // DECODE_BLOCK) * DECODE_BLOCK
+        layout, kv_quant = "flat", kv_quant[:4]
     kv_cache = llm.init_kv_cache(cfg, b, t, dtype=inputs_embeds.dtype,
-                                 quant=kv_quant)
+                                 quant=kv_quant, layout=layout)
 
     if cache_constrain is not None:
         kv_cache = cache_constrain(kv_cache)
