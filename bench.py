@@ -212,6 +212,13 @@ def main():
     ids = np.array([tokenizer_image_token(prompt, tok)])
     s = cfg.sam.img_size
 
+    # BENCH_SPEC=k: prompt-lookup speculative decode with draft length k
+    # over the SAME quantized flat cache (the chunk kernel reads each cache
+    # block once per verified chunk). Token-identical to the wave decode;
+    # acceptance depends on output repetitiveness (high for the templated
+    # PAVE grammar with trained weights).
+    spec_k = int(os.environ.get("BENCH_SPEC", "0"))
+
     def pipeline(params, images, input_ids, attention_mask):
         return walkgpt.generate_and_segment(
             params, cfg, images=images, input_ids=input_ids,
@@ -219,7 +226,7 @@ def main():
             row_image_idx=jnp.arange(batch, dtype=jnp.int32),
             pixel_hw=jnp.broadcast_to(jnp.array([[s - s // 4, s]]), (batch, 2)),
             max_new_tokens=max_new, max_segs=MAX_SEGS * batch,
-            eos_id=tok.eos_token_id)
+            eos_id=tok.eos_token_id, speculative_k=spec_k)
 
     from walkgpt_tpu.core.xla_opts import decode_compiler_options
     fn = jax.jit(pipeline, compiler_options=decode_compiler_options())
@@ -263,7 +270,8 @@ def main():
     a100_unbatched = a100_reference_imgs_per_sec(n_llm, max_new, 1)
     result = {
         "metric": (f"PAVE e2e images/sec/chip (WalkGPT-{model_kind}: SAM-ViT-H "
-                   f"encode + MSQP + prefill {ids.shape[1]}+255 tok + greedy "
+                   f"encode + MSQP + prefill {ids.shape[1]}+255 tok + greedy"
+                   f"{f'(spec{spec_k})' if spec_k else ''} "
                    f"{max_new} tok + {MAX_SEGS}-SEG mask decode, "
                    f"{quant + '-LLM, ' if quant else ''}bf16, "
                    f"batch {batch}; baseline = analytic A100-80G at the SAME "

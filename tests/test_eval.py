@@ -504,3 +504,25 @@ def test_device_mask_counts_match_host_histograms():
         np.testing.assert_array_equal(counts[k, 0], inter)
         np.testing.assert_array_equal(counts[k, 1], union)
         np.testing.assert_array_equal(counts[k, 2], target)
+
+
+def test_parity_cli_record_compare(tmp_path):
+    """Real-weight parity harness (BASELINE north star contract): record on
+    the real manifest, self-compare passes; a perturbed recording fails."""
+    import os
+    if not os.path.exists("/root/reference/datasets/val.jsonl"):
+        pytest.skip("reference manifest absent")
+    import numpy as np
+    from walkgpt_tpu.runtime.parity_cli import main as parity_main
+    a = str(tmp_path / "a.npz")
+    b = str(tmp_path / "b.npz")
+    base = ["--samples", "1", "--dataset_dir", "/root/reference/datasets",
+            "--model_size", "tiny", "--max_new_tokens", "4"]
+    parity_main(["record", "--out", a] + base)
+    parity_main(["record", "--out", b] + base)
+    assert parity_main(["compare", "--a", a, "--b", b]) == 0
+    d = dict(np.load(b))
+    d["tokens_0"] = d["tokens_0"] + 1
+    c = str(tmp_path / "c.npz")
+    np.savez_compressed(c, **d)
+    assert parity_main(["compare", "--a", a, "--b", c]) == 1
