@@ -487,6 +487,7 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
                          visual_stream: str = "sam",
                          speculative_k: int = 0,
                          cache_constrain=None,
+                         precomputed_sam=None,
                          ) -> EvaluateOutput:
     """The `evaluate` pipeline (model/walkgpt.py:607-746), one compiled graph:
     greedy decode from visual tokens, extract [SEG] predictor hidden states,
@@ -498,12 +499,19 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
       "clip" — CLIP-448 pixels through the tower + mm_projector
                (evaluate()'s images_clip path, model/walkgpt.py:629-637).
     Either way the MASK decode uses the genuine SAM features from `images`
-    (get_visual_embs, model/walkgpt.py:713-743)."""
+    (get_visual_embs, model/walkgpt.py:713-743).
+
+    precomputed_sam: optional (feats, sam_tokens) from encode_sam — lets a
+    caller split the pipeline into an encode program and this decode+mask
+    program (benchmarks/overlap_e2e.py A/B)."""
     if flash_fn is None and cfg.use_flash_attention:
         from ..ops.flash_attention import flash_attention
         flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
                                                        key_valid=kv)
-    feats, sam_tokens = encode_sam(params, cfg, images)
+    if precomputed_sam is not None:
+        feats, sam_tokens = precomputed_sam
+    else:
+        feats, sam_tokens = encode_sam(params, cfg, images)
     vis_mask_rows = None
     if visual_stream == "clip":
         assert images_clip is not None, "clip stream needs images_clip"

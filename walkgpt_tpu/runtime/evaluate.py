@@ -411,14 +411,12 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print, mesh=None):
     t_prev = t_wall
     group_secs: List[tuple] = []      # (seconds, images) per device batch
     n_images = 0
-    for samples, batch, db, dev in prefetch_map(load, groups, depth=2):
-        n_images += len(samples)
-        # 1. teacher-forced mask metrics (jitted per shape bucket; the IoU
-        # histograms reduce on device — only [M, 3, 2] counts come back)
-        out, counts = fwd_cache(db.max_segs)(
-            params, dev["images"], dev["input_ids"], dev["labels"],
-            dev["attention_mask"], dev["row_image_idx"], dev["gt_masks"],
-            dev["pixel_hw"])
+
+    def harvest(samples, batch, db, out, counts, ev, questions):
+        """Host-side readback + metric/text accumulation for one batch.
+        Runs AFTER the next batch's programs are dispatched (pending queue
+        below), so np.asarray readbacks and python bookkeeping overlap the
+        device computing batch k+1 instead of serializing with it."""
         seg_valid = np.asarray(out.seg_valid).astype(bool)
         seg_img = np.asarray(db.row_image_idx)[np.asarray(out.seg_rows)]
         counts = np.asarray(counts)                       # [M, 3, 2]
@@ -431,6 +429,37 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print, mesh=None):
                 continue
             used[img] += 1
             acc.add_counts(counts[k, 0], counts[k, 1], counts[k, 2])
+
+        toks = np.asarray(ev.tokens)
+        lens = np.asarray(ev.lengths)
+        offset = np.asarray(batch["offset"]).tolist()
+        row_img = np.asarray(db.row_image_idx)
+        for j, q in enumerate(questions):
+            img = int(row_img[j]) if j < len(row_img) else 0
+            answer = decode_answer(tokenizer, toks[j], int(lens[j]))
+            line = f"Question: {q} | Answer: {answer}"
+            image_path = (db.image_paths[img] if img < len(db.image_paths)
+                          else "")
+            if not args.no_console_text:
+                logger(f"[val text] image={image_path}, sample={j} {line}")
+            text_log.append({"image_path": image_path, "response": line})
+            # depth-text accuracy vs the GT answer's [distance] block
+            local_j = j - offset[img]
+            convs = samples[img].conversations
+            gt_text = convs[local_j] if 0 <= local_j < len(convs) else ""
+            gt_depth = parse_distance_block(gt_text)
+            if gt_depth:
+                depth.update(answer, gt_depth)
+
+    pending = None          # (samples, batch, db, out, counts, ev, questions)
+    for samples, batch, db, dev in prefetch_map(load, groups, depth=2):
+        n_images += len(samples)
+        # 1. teacher-forced mask metrics (jitted per shape bucket; the IoU
+        # histograms reduce on device — only [M, 3, 2] counts come back)
+        out, counts = fwd_cache(db.max_segs)(
+            params, dev["images"], dev["input_ids"], dev["labels"],
+            dev["attention_mask"], dev["row_image_idx"], dev["gt_masks"],
+            dev["pixel_hw"])
 
         # 2. generated answers for the response dump (one prompt per
         # conversation row across the whole batch, rows map to images via
@@ -455,28 +484,17 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print, mesh=None):
             jnp.asarray(ids_p != tokenizer.pad_token_id),
             dev["row_image_idx"], dev["pixel_hw"],
             **clip_kw)
-        toks = np.asarray(ev.tokens)
-        lens = np.asarray(ev.lengths)
-        offset = np.asarray(batch["offset"]).tolist()
-        row_img = np.asarray(db.row_image_idx)
-        for j, q in enumerate(questions):
-            img = int(row_img[j]) if j < len(row_img) else 0
-            answer = decode_answer(tokenizer, toks[j], int(lens[j]))
-            line = f"Question: {q} | Answer: {answer}"
-            image_path = (db.image_paths[img] if img < len(db.image_paths)
-                          else "")
-            if not args.no_console_text:
-                logger(f"[val text] image={image_path}, sample={j} {line}")
-            text_log.append({"image_path": image_path, "response": line})
-            # depth-text accuracy vs the GT answer's [distance] block
-            local_j = j - offset[img]
-            convs = samples[img].conversations
-            gt_text = convs[local_j] if 0 <= local_j < len(convs) else ""
-            gt_depth = parse_distance_block(gt_text)
-            if gt_depth:
-                depth.update(answer, gt_depth)
+        # harvest the PREVIOUS batch now that this one is queued on device
+        if pending is not None:
+            harvest(*pending)
+            now = _time.perf_counter()
+            group_secs.append((now - t_prev, len(pending[0])))
+            t_prev = now
+        pending = (samples, batch, db, out, counts, ev, questions)
+    if pending is not None:
+        harvest(*pending)
         now = _time.perf_counter()
-        group_secs.append((now - t_prev, len(samples)))
+        group_secs.append((now - t_prev, len(pending[0])))
         t_prev = now
 
     wall = _time.perf_counter() - t_wall
