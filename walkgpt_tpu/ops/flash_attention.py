@@ -1582,10 +1582,24 @@ def _decode_attn_qc_kernel(cl_ref, q_ref, qs_ref, k_ref, ks_ref, v_ref,
         ks_tile = jnp.concatenate([ks.T] * tc, axis=1)     # [bl, tc*n_kv]
         vs_tile = jnp.concatenate([vs.T] * tc, axis=1)
 
-        lane_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 1) // d
-        row_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 0)
-        r_mat = (lane_kv == row_kv).astype(jnp.bfloat16)   # [n_kv, kd] 0/1
-        band_f32 = r_mat.astype(jnp.float32)
+        # Static selector matrices — Mosaic cannot shape-cast [1, tc*n_kv]
+        # -> [tc, n_kv] (infer-vector-layout rejects the lane->sublane
+        # split), so every per-(t, kv) extraction runs as a masked DOT with
+        # iota-built 0/1 selectors instead of a reshape:
+        #   rowm[t, j]    = 1 iff j // n_kv == t          [tc, tc*n_kv]
+        #   bandbig[j, l] = 1 iff l // d  == j %  n_kv    [tc*n_kv, kd]
+        # Each output element of (x*rowm) @ bandbig has exactly ONE nonzero
+        # product, so the dots are exact selections (bit-matching the
+        # single-token kernel's r_mat band dots).
+        tcn = tc * n_kv
+        rowm = (jax.lax.broadcasted_iota(jnp.int32, (tc, tcn), 1) // n_kv
+                == jax.lax.broadcasted_iota(jnp.int32, (tc, tcn), 0)
+                ).astype(jnp.bfloat16)
+        bandbig = (jax.lax.broadcasted_iota(jnp.int32, (tcn, kd), 1) // d
+                   == jax.lax.broadcasted_iota(jnp.int32, (tcn, kd), 0)
+                   % n_kv).astype(jnp.bfloat16)
+        rowm_f32 = rowm.astype(jnp.float32)
+        bandbig_f32 = bandbig.astype(jnp.float32)
 
         for r in range(n_rep):
             q_band = q_ref[r]                # [tc*n_kv, kd] bf16 or int8
@@ -1639,23 +1653,32 @@ def _decode_attn_qc_kernel(cl_ref, q_ref, qs_ref, k_ref, ks_ref, v_ref,
                 y_full = jax.lax.dot_general(
                     p_s, v8.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            y_t = jnp.sum(y_full.reshape(tc, n_kv, kd) * band_f32[None], 1)
+            # per-t band extraction + alpha correction as exact selector dots
+            y_t = jax.lax.dot_general(
+                rowm_f32, y_full * bandbig_f32, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [tc, kd]
+            a_sel = jnp.broadcast_to(alpha, (tc, tcn)).astype(jnp.bfloat16) \
+                * rowm
             alpha_exp = jax.lax.dot_general(
-                alpha.reshape(tc, n_kv).astype(jnp.bfloat16), r_mat,
-                (((1,), (0,)), ((), ())),
+                a_sel, bandbig, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [tc, kd]
             acc_s[r * tc:(r + 1) * tc] = \
                 acc_s[r * tc:(r + 1) * tc] * alpha_exp + y_t
 
     @pl.when(jk == nb - 1)
     def _finish():
-        lane_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 1) // d
-        row_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 0)
-        r_mat = (lane_kv == row_kv).astype(jnp.bfloat16)
+        tcn = tc * n_kv
+        rowm = (jax.lax.broadcasted_iota(jnp.int32, (tc, tcn), 1) // n_kv
+                == jax.lax.broadcasted_iota(jnp.int32, (tc, tcn), 0)
+                ).astype(jnp.bfloat16)
+        bandbig = (jax.lax.broadcasted_iota(jnp.int32, (tcn, kd), 1) // d
+                   == jax.lax.broadcasted_iota(jnp.int32, (tcn, kd), 0)
+                   % n_kv).astype(jnp.bfloat16)
         for r in range(n_rep):
+            l_sel = jnp.broadcast_to(l_s[r:r + 1], (tc, tcn)
+                                     ).astype(jnp.bfloat16) * rowm
             l_exp = jax.lax.dot_general(
-                l_s[r].reshape(tc, n_kv).astype(jnp.bfloat16), r_mat,
-                (((1,), (0,)), ((), ())),
+                l_sel, bandbig, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [tc, kd]
             yr = acc_s[r * tc:(r + 1) * tc] / jnp.maximum(l_exp, 1e-30)
             if n_rep == 1:

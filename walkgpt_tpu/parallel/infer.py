@@ -145,8 +145,12 @@ def make_dp_generate(mesh: Mesh, cfg, *, max_new_tokens: int, max_segs: int,
     assert max_segs % dp == 0, (max_segs, dp)
     try:
         from jax import shard_map
+        # v0.8+ API: vma checking must be off — the Pallas kernels inside
+        # the local program produce ShapeDtypeStructs without vma
+        smap_kw = {"check_vma": False}
     except ImportError:                     # older jax
         from jax.experimental.shard_map import shard_map
+        smap_kw = {"check_rep": False}
 
     def local(params, images, input_ids, attention_mask, pixel_hw):
         from ..models import walkgpt
@@ -166,8 +170,7 @@ def make_dp_generate(mesh: Mesh, cfg, *, max_new_tokens: int, max_segs: int,
     smapped = shard_map(
         local, mesh=mesh,
         in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
-        out_specs=_evaluate_out_specs(mesh),
-        check_rep=False)
+        out_specs=_evaluate_out_specs(mesh), **smap_kw)
 
     def wrapper(params, images, input_ids, attention_mask, row_image_idx,
                 pixel_hw):

@@ -324,14 +324,24 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                          flash_fn=None, kv_quant="",
                          prefill_chunk: int = 0,
                          cache_constrain=None) -> GenerateResult:
-    """Greedy decode with prompt-lookup speculative verification — TOKEN-
-    IDENTICAL to greedy_generate by construction (every emitted token is the
-    model's own argmax given its true prefix); only the schedule differs:
-    each iteration verifies `draft_k` drafted tokens in ONE decode_chunk
-    pass, so weight HBM reads amortize over accepted runs. With real PAVE
-    weights the templated answer grammar gives long accepted runs; with a
-    draft miss the loop still advances one token per iteration (greedy's
-    rate, plus the small chunk-compute overhead).
+    """Greedy decode with prompt-lookup speculative verification — every
+    emitted token is the model's own argmax given its true prefix; only the
+    schedule differs: each iteration verifies `draft_k` drafted tokens in
+    ONE decode_chunk pass, so weight HBM reads amortize over accepted runs.
+    With real PAVE weights the templated answer grammar gives long accepted
+    runs; with a draft miss the loop still advances one token per iteration
+    (greedy's rate, plus the small chunk-compute overhead).
+
+    Token-identity fine print: identical to greedy_generate whenever chunk
+    and single-token forwards run the same kernel arithmetic — exact on the
+    CPU/interpret backend (tests assert bit equality for every cache
+    format) and for fp heads-layout caches. On TPU with quantized weight
+    kernels (int4/w8a8) the Tc-row chunk projections dispatch different
+    (equally valid) kernel paths than the 1-row decode step, so hidden
+    states differ at bf16-noise level; argmax ties within ~1e-2 logits can
+    then resolve differently. Trained-model logit margins dwarf that noise;
+    the output remains a greedy decode of the model under the chunk
+    arithmetic.
 
     prompt_ids: optional [B, T] ids of the prompt timeline (IMAGE sentinel /
     pad positions < 0 are never matched) — extends the lookup window beyond
