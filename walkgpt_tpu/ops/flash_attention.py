@@ -1582,24 +1582,20 @@ def _decode_attn_qc_kernel(cl_ref, q_ref, qs_ref, k_ref, ks_ref, v_ref,
         ks_tile = jnp.concatenate([ks.T] * tc, axis=1)     # [bl, tc*n_kv]
         vs_tile = jnp.concatenate([vs.T] * tc, axis=1)
 
-        # Static selector matrices — Mosaic cannot shape-cast [1, tc*n_kv]
-        # -> [tc, n_kv] (infer-vector-layout rejects the lane->sublane
-        # split), so every per-(t, kv) extraction runs as a masked DOT with
-        # iota-built 0/1 selectors instead of a reshape:
-        #   rowm[t, j]    = 1 iff j // n_kv == t          [tc, tc*n_kv]
-        #   bandbig[j, l] = 1 iff l // d  == j %  n_kv    [tc*n_kv, kd]
-        # Each output element of (x*rowm) @ bandbig has exactly ONE nonzero
-        # product, so the dots are exact selections (bit-matching the
-        # single-token kernel's r_mat band dots).
-        tcn = tc * n_kv
-        rowm = (jax.lax.broadcasted_iota(jnp.int32, (tc, tcn), 1) // n_kv
-                == jax.lax.broadcasted_iota(jnp.int32, (tc, tcn), 0)
-                ).astype(jnp.bfloat16)
-        bandbig = (jax.lax.broadcasted_iota(jnp.int32, (tcn, kd), 1) // d
-                   == jax.lax.broadcasted_iota(jnp.int32, (tcn, kd), 0)
-                   % n_kv).astype(jnp.bfloat16)
-        rowm_f32 = rowm.astype(jnp.float32)
-        bandbig_f32 = bandbig.astype(jnp.float32)
+        # Per-(t, kv) extraction uses the single-token kernel's OWN band
+        # matrix and expressions in a static per-t loop (Mosaic cannot
+        # shape-cast [1, tc*n_kv] -> [tc, n_kv], and a [tc*n_kv, kd]
+        # masked-product formulation blew the 16 MB scoped-vmem limit at
+        # 13B — ~22 MB of f32 selector/product temporaries). Only the
+        # SCORES stay one big [bl, kd] x [kd, tc*n_kv] MXU dot; PV runs
+        # per t over the lane slice p_s[:, t*n_kv:(t+1)*n_kv], which is
+        # line-for-line the single-token kernel's PV/band/alpha math per
+        # position (the bit-match that keeps speculation token-identical
+        # where kernel arithmetic is shared).
+        lane_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 1) // d
+        row_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 0)
+        r_mat = (lane_kv == row_kv).astype(jnp.bfloat16)   # [n_kv, kd] 0/1
+        band_f32 = r_mat.astype(jnp.float32)
 
         for r in range(n_rep):
             q_band = q_ref[r]                # [tc*n_kv, kd] bf16 or int8
@@ -1641,53 +1637,53 @@ def _decode_attn_qc_kernel(cl_ref, q_ref, qs_ref, k_ref, ks_ref, v_ref,
             p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
             l_s[r:r + 1] = l_old * alpha + jnp.sum(p, axis=0, keepdims=True)
             m_s[r:r + 1] = m_new
-            p_s = (p * vs_tile).astype(jnp.bfloat16)
-            if pack4:
-                y_full = jnp.concatenate([
-                    jax.lax.dot_general(p_s, vlo, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32),
-                    jax.lax.dot_general(p_s, vhi, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)],
-                    axis=1)                        # [tc*n_kv, kd]
-            else:
-                y_full = jax.lax.dot_general(
-                    p_s, v8.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            # per-t band extraction + alpha correction as exact selector dots
-            y_t = jax.lax.dot_general(
-                rowm_f32, y_full * bandbig_f32, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [tc, kd]
-            a_sel = jnp.broadcast_to(alpha, (tc, tcn)).astype(jnp.bfloat16) \
-                * rowm
-            alpha_exp = jax.lax.dot_general(
-                a_sel, bandbig, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [tc, kd]
-            acc_s[r * tc:(r + 1) * tc] = \
-                acc_s[r * tc:(r + 1) * tc] * alpha_exp + y_t
+            p_s = (p * vs_tile).astype(jnp.bfloat16)       # [bl, tc*n_kv]
+            v8b = None if pack4 else v8.astype(jnp.bfloat16)
+            for t in range(tc):
+                ps_t = p_s[:, t * n_kv:(t + 1) * n_kv]     # [bl, n_kv]
+                if pack4:
+                    y_full = jnp.concatenate([
+                        jax.lax.dot_general(ps_t, vlo,
+                                            (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32),
+                        jax.lax.dot_general(ps_t, vhi,
+                                            (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)],
+                        axis=1)                            # [n_kv, kd]
+                else:
+                    y_full = jax.lax.dot_general(
+                        ps_t, v8b, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                y = jnp.sum(y_full * band_f32, 0, keepdims=True)  # [1, kd]
+                alpha_t = alpha[:, t * n_kv:(t + 1) * n_kv]
+                alpha_exp = jax.lax.dot_general(
+                    alpha_t.astype(jnp.bfloat16), r_mat,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [1, kd]
+                row = r * tc + t
+                acc_s[row:row + 1] = acc_s[row:row + 1] * alpha_exp + y
 
     @pl.when(jk == nb - 1)
     def _finish():
-        tcn = tc * n_kv
-        rowm = (jax.lax.broadcasted_iota(jnp.int32, (tc, tcn), 1) // n_kv
-                == jax.lax.broadcasted_iota(jnp.int32, (tc, tcn), 0)
-                ).astype(jnp.bfloat16)
-        bandbig = (jax.lax.broadcasted_iota(jnp.int32, (tcn, kd), 1) // d
-                   == jax.lax.broadcasted_iota(jnp.int32, (tcn, kd), 0)
-                   % n_kv).astype(jnp.bfloat16)
+        lane_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 1) // d
+        row_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, kd), 0)
+        r_mat = (lane_kv == row_kv).astype(jnp.bfloat16)
         for r in range(n_rep):
-            l_sel = jnp.broadcast_to(l_s[r:r + 1], (tc, tcn)
-                                     ).astype(jnp.bfloat16) * rowm
-            l_exp = jax.lax.dot_general(
-                l_sel, bandbig, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [tc, kd]
-            yr = acc_s[r * tc:(r + 1) * tc] / jnp.maximum(l_exp, 1e-30)
-            if n_rep == 1:
-                o_ref[:] = yr.astype(o_ref.dtype)
-            else:
-                for kv in range(n_kv):
-                    hh = kv * n_rep + r
-                    o_ref[:, hh * d:(hh + 1) * d] = yr[
-                        :, kv * d:(kv + 1) * d].astype(o_ref.dtype)
+            for t in range(tc):
+                l_t = l_s[r:r + 1, t * n_kv:(t + 1) * n_kv]  # [1, n_kv]
+                l_exp = jax.lax.dot_general(
+                    l_t.astype(jnp.bfloat16), r_mat,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [1, kd]
+                row = r * tc + t
+                yr = acc_s[row:row + 1] / jnp.maximum(l_exp, 1e-30)
+                if n_rep == 1:
+                    o_ref[t:t + 1, :] = yr.astype(o_ref.dtype)
+                else:
+                    for kv in range(n_kv):
+                        hh = kv * n_rep + r
+                        o_ref[t:t + 1, hh * d:(hh + 1) * d] = yr[
+                            :, kv * d:(kv + 1) * d].astype(o_ref.dtype)
 
 
 def banded_q_chunk(q, *, n_kv: int, head_dim: int):
