@@ -198,6 +198,15 @@ def main():
                                         == "int8")
     else:
         params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if os.environ.get("BENCH_SAM_SCAN", "0") == "1":
+        # stacked-scan SAM encoder layout (sam_encoder.stack_for_scan): one
+        # compiled windowed-block body per run instead of 28 inlined copies
+        # — an XLA compile-time lever, math identical (jit-equality tested)
+        from walkgpt_tpu.models import sam_encoder
+        params = dict(params, sam=dict(
+            params["sam"],
+            image_encoder=sam_encoder.stack_for_scan(
+                params["sam"]["image_encoder"], cfg.sam)))
     n_params = nn.count_params(params)
     phase(f"params initialized ({n_params/1e9:.2f}B, quant={quant or 'bf16'})")
 

@@ -195,10 +195,13 @@ def stack_for_scan(params, cfg: SAMEncoderConfig):
     ONE lax.scan over stacked weights instead of inlining every block into
     the HLO. All windowed blocks share one compiled body, which cuts the
     XLA compile time of the e2e pipeline (ViT-H inlines 28 windowed-block
-    copies otherwise); the math is identical. Accepts plain or quantized
-    (ops/quant.py) block leaves — any array pytree stacks. The stacked
-    layout is single-chip/inference oriented: the megatron sharding rules
-    in parallel/sharding.py address per-block paths and do not apply to it.
+    copies otherwise); the math is identical (bit-equal under jit —
+    tests/test_sam.py). Opt-in: production callers keep the inlined layout
+    by default; bench.py adopts it via BENCH_SAM_SCAN=1. Accepts plain or
+    quantized (ops/quant.py) block leaves — any array pytree stacks. The
+    stacked layout is single-chip/inference oriented: the megatron sharding
+    rules in parallel/sharding.py address per-block paths and do not apply
+    to it.
     Returns a new params dict with "blocks" replaced by "block_runs", one
     entry per _scan_plan run (stacked leading axis n for runs, the plain
     block dict for the n=1 globals)."""

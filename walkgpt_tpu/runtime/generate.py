@@ -54,6 +54,8 @@ class GenerateResult(NamedTuple):
     pred_hidden: jnp.ndarray   # [B, max_new, H] hidden state that predicted each token
     lengths: jnp.ndarray       # [B] number of generated tokens incl. EOS
     prefill_hidden: jnp.ndarray  # [B, T, H] final-norm hidden states of the prompt
+    n_iters: Optional[jnp.ndarray] = None  # [] speculative verify iterations
+    #                                        (acceptance = lengths.sum()/n_iters)
 
 
 def _cache_len_axis(name: str, layout_flat: bool) -> int:
@@ -401,7 +403,7 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
 
     def body(c):
         (kv, cur, hid_cur, done, n_gen, cache_len, hist, hlen,
-         out_tok, out_hid, out_val) = c
+         out_tok, out_hid, out_val, n_iter) = c
         props = _ngram_propose(hist, hlen, ngram, K)           # [B, K]
         chunk = jnp.concatenate([cur[:, None], props], axis=1)  # [B, K+1]
         embeds = llm.embed(params, chunk).astype(inputs_embeds.dtype)
@@ -441,13 +443,13 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
         done = done | has_eos | (n_gen >= max_new_tokens)
         cur = jnp.where(done, jnp.int32(pad_id), new_cur)
         return (kv, cur, new_hid, done, n_gen, cache_len, hist, hlen,
-                out_tok, out_hid, out_val)
+                out_tok, out_hid, out_val, n_iter + 1)
 
     init = (kv_cache, token0, last_hidden, jnp.zeros((b,), bool),
             jnp.zeros((b,), jnp.int32), lengths0, hist0, hlen0,
-            out_tok0, out_hid0, out_val0)
-    (_, _, _, _, n_gen, _, _, _, out_tok, out_hid, out_val) = \
+            out_tok0, out_hid0, out_val0, jnp.zeros((), jnp.int32))
+    (_, _, _, _, n_gen, _, _, _, out_tok, out_hid, out_val, n_iter) = \
         jax.lax.while_loop(cond, body, init)
     return GenerateResult(tokens=out_tok, pred_hidden=out_hid,
                           lengths=out_val.astype(jnp.int32).sum(-1),
-                          prefill_hidden=prefill_hidden)
+                          prefill_hidden=prefill_hidden, n_iters=n_iter)
