@@ -229,18 +229,43 @@ def main():
     # acceptance depends on output repetitiveness (high for the templated
     # PAVE grammar with trained weights).
     spec_k = int(os.environ.get("BENCH_SPEC", "0"))
+    # BENCH_SPLIT=1: split encode/decode schedule — batch k+1's SAM-encode
+    # program dispatched before batch k's decode+mask program. MEASURED
+    # VERDICT (2026-08-20): the dedicated A/B (benchmarks/overlap_e2e.py,
+    # tokens-only harvest) reproduces +5.6% twice (1365 vs 1441 ms/batch),
+    # but in THIS bench — which materializes the full EvaluateOutput incl.
+    # the 268 MB mask canvases as program outputs — split measures NEUTRAL
+    # (11.16-11.17 vs 11.20 fused, two fresh runs). The device serializes
+    # programs either way; the A/B's win does not survive the full-output
+    # pipeline, so the default stays the single fused program.
+    split = os.environ.get("BENCH_SPLIT", "0") == "1" and spec_k == 0
+
+    row_idx = jnp.arange(batch, dtype=jnp.int32)
+    hw = jnp.broadcast_to(jnp.array([[s - s // 4, s]]), (batch, 2))
 
     def pipeline(params, images, input_ids, attention_mask):
         return walkgpt.generate_and_segment(
             params, cfg, images=images, input_ids=input_ids,
             attention_mask=attention_mask,
-            row_image_idx=jnp.arange(batch, dtype=jnp.int32),
-            pixel_hw=jnp.broadcast_to(jnp.array([[s - s // 4, s]]), (batch, 2)),
+            row_image_idx=row_idx, pixel_hw=hw,
             max_new_tokens=max_new, max_segs=MAX_SEGS * batch,
             eos_id=tok.eos_token_id, speculative_k=spec_k)
 
+    def decode_prog(params, feats, sam_tokens, input_ids, attention_mask):
+        return walkgpt.generate_and_segment(
+            params, cfg, images=None, input_ids=input_ids,
+            attention_mask=attention_mask,
+            row_image_idx=row_idx, pixel_hw=hw,
+            max_new_tokens=max_new, max_segs=MAX_SEGS * batch,
+            eos_id=tok.eos_token_id, speculative_k=spec_k,
+            precomputed_sam=(feats, sam_tokens))
+
     from walkgpt_tpu.core.xla_opts import decode_compiler_options
-    fn = jax.jit(pipeline, compiler_options=decode_compiler_options())
+    opts = decode_compiler_options()
+    fn = jax.jit(pipeline, compiler_options=opts)
+    enc_fn = jax.jit(lambda p, im: walkgpt.encode_sam(p, cfg, im),
+                     compiler_options=opts)
+    dec_fn = jax.jit(decode_prog, compiler_options=opts)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(batch, s, s, 3), dtype)
     input_ids = jnp.asarray(np.repeat(ids, batch, axis=0))
@@ -250,7 +275,11 @@ def main():
     # block_until_ready() returns before execution completes, so all timing
     # must force a host readback of a value depending on every iteration.
     phase("compiling pipeline")
-    out = fn(params, images, input_ids, attn)
+    if split:
+        fs = enc_fn(params, images)
+        out = dec_fn(params, *fs, input_ids, attn)
+    else:
+        out = fn(params, images, input_ids, attn)
     float(out.tokens.sum())
     phase("compile+warmup done; timing windows start")
 
@@ -264,9 +293,18 @@ def main():
     for w in range(windows):
         t0 = time.perf_counter()
         acc = []
-        for i in range(iters):
-            out = fn(params, images, input_ids, attn)
-            acc.append(out.tokens.sum() + out.mask_scores.sum())
+        if split:
+            fs = enc_fn(params, images)
+            for i in range(iters):
+                fs_next = enc_fn(params, images) if i + 1 < iters else None
+                out = dec_fn(params, *fs, input_ids, attn)
+                acc.append(out.tokens.sum() + out.mask_scores.sum())
+                if fs_next is not None:
+                    fs = fs_next
+        else:
+            for i in range(iters):
+                out = fn(params, images, input_ids, attn)
+                acc.append(out.tokens.sum() + out.mask_scores.sum())
         float(sum(acc))      # one readback forcing this window's programs
         win_dt.append((time.perf_counter() - t0) / iters)
     dt = min(win_dt)
@@ -284,6 +322,7 @@ def main():
                    f"encode + MSQP + prefill {ids.shape[1]}+255 tok + greedy"
                    f"{f'(spec{spec_k})' if spec_k else ''} "
                    f"{max_new} tok + {MAX_SEGS}-SEG mask decode, "
+                   f"{'split-pipe, ' if split else ''}"
                    f"{quant + '-LLM, ' if quant else ''}bf16, "
                    f"batch {batch}; baseline = analytic A100-80G at the SAME "
                    f"{n_llm/1e9:.1f}B-LLM scale and {max_new}-token budget "
