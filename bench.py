@@ -198,10 +198,14 @@ def main():
                                         == "int8")
     else:
         params = walkgpt.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
-    if os.environ.get("BENCH_SAM_SCAN", "0") == "1":
+    if os.environ.get("BENCH_SAM_SCAN", "1") == "1":
         # stacked-scan SAM encoder layout (sam_encoder.stack_for_scan): one
-        # compiled windowed-block body per run instead of 28 inlined copies
-        # — an XLA compile-time lever, math identical (jit-equality tested)
+        # compiled windowed-block body per lax.scan run instead of 28
+        # inlined copies. Math identical (jit-equality tested); measured
+        # on v5e (2026-08-20): encoder compile 31.6 -> 17.4 s AND e2e
+        # 11.198 -> 11.593/11.592 img/s (+3.5%, two fresh runs, windows
+        # spread <0.1%) — the shared scan body schedules better than 28
+        # inlined block copies. BENCH_SAM_SCAN=0 restores the inline form.
         from walkgpt_tpu.models import sam_encoder
         params = dict(params, sam=dict(
             params["sam"],
