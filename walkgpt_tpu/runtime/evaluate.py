@@ -76,6 +76,13 @@ def parse_args(argv):
     p.add_argument("--sam_chunk", default=0, type=int,
                    help="encode SAM in sub-batches of this size (bounds "
                         "encoder activations at large --val_batch_size)")
+    p.add_argument("--sam_scan", action="store_true", default=False,
+                   help="stacked-scan SAM encoder layout (stack_for_scan): "
+                        "windowed-block runs execute as one compiled "
+                        "lax.scan body — measured +3.5%% e2e and half the "
+                        "encoder compile time on v5e (bench.py default). "
+                        "Single-chip layout: under --mesh the stacked tree "
+                        "replicates instead of tp-sharding")
     p.add_argument("--speculative", default=0, type=int,
                    help="prompt-lookup speculative decode with this draft "
                         "length (0 = wave greedy). Token-identical to "
@@ -186,6 +193,12 @@ def build_model(args, cfg):
         from ..ops.quant import quantize_sam_encoder
         params = dict(params, sam=quantize_sam_encoder(
             params["sam"], act_quant=getattr(args, "quant", "") == "w8a8"))
+    if getattr(args, "sam_scan", False):
+        from ..models import sam_encoder
+        params = dict(params, sam=dict(
+            params["sam"],
+            image_encoder=sam_encoder.stack_for_scan(
+                params["sam"]["image_encoder"], cfg.sam)))
     return params
 
 
