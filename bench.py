@@ -90,16 +90,16 @@ def main():
     # batch 16 is the stable 1b default; 24 peaks ~7% higher (9.78 img/s
     # measured) but sits on the HBM edge and intermittently collapses or
     # hangs — not acceptable for the unattended bench contract. 7b runs
-    # batch 32 (int4x + flat-int4 KV leave the headroom that int8 weights
-    # did not: 2.539 img/s / 1.29x; 24 -> 2.307/1.25x, 20 -> 2.154/1.23x,
-    # 40 OOMs); 13b batch 14 (round-4 default — measured ladder, stable
+    # batch 36 (round-4: 2.776 img/s vs 2.746 at 32, stable windows;
+    # 40 still OOMs; round-3 ladder at 32: 2.539/1.29x, 24 -> 2.307,
+    # 20 -> 2.154); 13b batch 14 (round-4 default — measured ladder, stable
     # windows each: 8 -> 0.940, 12 -> 1.170, 14 -> 1.256 img/s, 16 OOMs
     # HBM; +34% raw over the old batch-8 default at the same ~1.12x
     # like-for-like ratio since the analytic baseline is granted the
     # same batch).
     batch = int(os.environ.get(
         "BENCH_BATCH",
-        {"7b": "32", "13b": "14"}.get(model_kind, "16")))
+        {"7b": "36", "13b": "14"}.get(model_kind, "16")))
 
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
     if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
