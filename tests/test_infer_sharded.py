@@ -159,3 +159,62 @@ def test_mesh_config_downgrades_for_tp():
     else:                                     # pragma: no cover (TPU CI)
         assert out.kv_quant_cache == "int4"
         assert not out.use_flash_attention
+
+
+def test_gspmd_generate_speculative_token_identity(setup):
+    """Speculative decode under the dp x tp mesh: identical tokens to the
+    single-device speculative program (the chunk kernel + while_loop carry
+    partition under GSPMD on the interpret backend)."""
+    tok, cfg, params, images, args = setup
+    cfg = cfg.replace(kv_quant_cache="int8_flat")
+
+    def gen(params, images, input_ids, attention_mask, row_image_idx,
+            pixel_hw):
+        return walkgpt.generate_and_segment(
+            params, cfg, images=images, input_ids=input_ids,
+            attention_mask=attention_mask, row_image_idx=row_image_idx,
+            pixel_hw=pixel_hw, max_new_tokens=16, max_segs=16,
+            eos_id=tok.eos_token_id, speculative_k=4)
+    ref = jax.jit(gen)(params, images, **args)
+    mesh = shd.make_mesh(dp=2, tp=4)
+    sp = infer.shard_params(params, mesh)
+    fn = infer.make_sharded_generate(mesh, cfg, max_new_tokens=16,
+                                     max_segs=16, eos_id=tok.eos_token_id,
+                                     speculative_k=4)
+    out = fn(sp, images, args["input_ids"], args["attention_mask"],
+             args["row_image_idx"], args["pixel_hw"])
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(out.tokens))
+
+
+def test_dp_shard_map_generate_speculative(setup):
+    """dp shard_map path with speculative decode: the full single-chip
+    speculative program (flat int4 cache + chunk kernel) per device."""
+    tok, cfg, params, images, args = setup
+    cfg = cfg.replace(kv_quant_cache="int4_flat")
+    B = 8
+    rng = np.random.RandomState(3)
+    s = cfg.sam.img_size
+    images8 = jnp.asarray(rng.randn(B, s, s, 3), jnp.float32)
+    ids = np.full((B, 32), 65, np.int64)
+    ids[:, 5] = -200
+    a = dict(input_ids=jnp.asarray(ids),
+             attention_mask=jnp.ones((B, 32), bool),
+             row_image_idx=jnp.arange(B, dtype=jnp.int32),
+             pixel_hw=jnp.broadcast_to(jnp.array([[s - s // 4, s]]), (B, 2)))
+
+    def gen(params, images, input_ids, attention_mask, row_image_idx,
+            pixel_hw):
+        return walkgpt.generate_and_segment(
+            params, cfg, images=images, input_ids=input_ids,
+            attention_mask=attention_mask, row_image_idx=row_image_idx,
+            pixel_hw=pixel_hw, max_new_tokens=16, max_segs=32,
+            eos_id=tok.eos_token_id, speculative_k=4)
+    ref = jax.jit(gen)(params, images8, **a)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    fn = infer.make_dp_generate(mesh, cfg, max_new_tokens=16, max_segs=32,
+                                eos_id=tok.eos_token_id, speculative_k=4)
+    out = fn(params, images8, a["input_ids"], a["attention_mask"],
+             a["row_image_idx"], a["pixel_hw"])
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(out.tokens))

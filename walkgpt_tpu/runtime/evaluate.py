@@ -548,7 +548,8 @@ def format_metric_line(dataset_name: str, res: dict) -> str:
     return line
 
 
-def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
+def ar_validate(args, cfg, params, tokenizer, dataset, logger=print,
+                mesh=None):
     """Hungarian-matched multi-mask evaluation for MultiReasonSeg-style data
     (reference ar_validate, train_walkgpt.py:836-1161 / evaluation_walkgpt.py
     :611-874): generate, decode all [SEG] masks, assign predictions to GT by
@@ -562,7 +563,7 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print):
 
     from ..data.prefetch import prefetch_map, shard_indices
 
-    _, gen_cache = _jit_caches(cfg)
+    _, gen_cache = _jit_caches(cfg, mesh=mesh)
     acc = IoUAccumulator()
     records = []
     acc_list = []                  # per-sample [giou_bg, giou_fg, max_num,
@@ -763,7 +764,8 @@ def main(argv=None):
           f"{args.model_max_length}): {6 * total * args.model_max_length:,}")
 
     if name == "MultiReasonSeg":
-        res, text_log = ar_validate(args, cfg, params, tokenizer, dataset)
+        res, text_log = ar_validate(args, cfg, params, tokenizer,
+                                    dataset, mesh=mesh)
     else:
         res, text_log = validate(args, cfg, params, tokenizer, dataset,
                                  mesh=mesh)
