@@ -156,3 +156,24 @@ def test_batcher_drives_full_seg_pipeline():
             text_embeds=emb[:, None], multimask_output=False)
         assert low_res.shape[0] == emb.shape[0]
         assert np.isfinite(np.asarray(low_res)).all()
+
+
+@pytest.mark.parametrize("kv", ["int8", "int8_flat", "int4_flat"])
+def test_continuous_batcher_quantized_pools(model, kv):
+    """The slot pool runs the production quantized cache formats (heads int8
+    and the flat int8/int4 layouts read by the Pallas banded kernel): tokens
+    match the wave decode on the SAME cache format."""
+    cfg, params = model
+    rng = np.random.RandomState(5)
+    prompts = [rng.randint(3, 500, n).tolist() for n in (6, 9, 7)]
+    batcher = ContinuousBatcher(params, cfg, batch_size=2, prompt_len=16,
+                                max_new_tokens=12, segment=4, eos_id=2,
+                                kv_quant=kv)
+    fins = {f.request_id: f.tokens for f in batcher.run(prompts)}
+    for i, p in enumerate(prompts):
+        arr = jnp.asarray(np.array([p]))
+        res = greedy_generate(params, cfg, llm.embed(params, arr),
+                              jnp.ones(arr.shape, bool), max_new_tokens=12,
+                              eos_id=2, pad_id=0, kv_quant=kv)
+        ref = np.asarray(res.tokens)[0][: int(res.lengths[0])].tolist()
+        assert fins[i] == ref, (kv, i, fins[i], ref)

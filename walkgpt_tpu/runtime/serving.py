@@ -18,6 +18,12 @@ All compiled functions are reused across the whole stream — two XLA programs
 (admit, segment), regardless of dataset size. One packed array is read back
 per segment.
 
+The slot pool is a full llm.init_kv_cache dict, so serving runs the SAME
+production cache formats as the wave engine: fp, int8/int4 heads layout, and
+the flat int8/int4 quantized layout read by the Pallas banded decode kernel
+(kv_quant="int8_flat"/"int4_flat"; decode_step's per-row scatter path writes
+each slot at its own cache_len).
+
 NOTE: on a tunneled/remote TPU (this dev environment) per-dispatch latency is
 ~0.5-1 s, which makes any host-in-the-loop engine slower than the one-program
 wave decode; on a directly attached chip (microsecond dispatch) slot refill
@@ -48,6 +54,13 @@ class Finished:
     seg_hidden: Optional[np.ndarray] = None
 
 
+def _len_axis(name: str, flat: bool) -> int:
+    """Length axis of a cache leaf (mirrors runtime/generate._cache_len_axis)."""
+    if flat:
+        return 3 if name.endswith("_scale") else 2
+    return 3
+
+
 class ContinuousBatcher:
     """Greedy decode over a stream of prompts — token ids via run(), or
     pre-spliced prompt embeddings (the WalkGPT visual-splice timeline) via
@@ -58,13 +71,17 @@ class ContinuousBatcher:
     refill points. With `seg_token_ids` set, the engine keeps every step's
     predictor hidden state in an on-device ring buffer and harvests the
     [SEG]-position hidden states of each finished request (a [max_segs, H]
-    gather per request, not a full-trace readback)."""
+    gather per request, not a full-trace readback).
+
+    kv_quant selects the slot-pool cache format (generate.greedy_generate
+    semantics): "" = fp heads, "int8"/"int4" = quantized heads layout,
+    "int8_flat"/"int4_flat" = flat quantized rows + Pallas banded decode."""
 
     def __init__(self, params, cfg: LLMConfig, *, batch_size: int = 8,
                  prompt_len: int = 512, max_new_tokens: int = 128,
                  segment: int = 32, eos_id: int = 2, pad_id: int = 0,
                  flash_fn=None, seg_token_ids: Optional[Sequence[int]] = None,
-                 max_segs_per_answer: int = 16):
+                 max_segs_per_answer: int = 16, kv_quant: str = ""):
         self.params = params
         self.cfg = cfg
         self.B = batch_size
@@ -80,6 +97,13 @@ class ContinuousBatcher:
             else ()
         self.collect_hidden = bool(self.seg_ids)
         self.max_segs = max_segs_per_answer
+        self.layout = "heads"
+        self.kv_quant = kv_quant or ""
+        if self.kv_quant in ("int8_flat", "int4_flat"):
+            from ..ops.flash_attention import DECODE_BLOCK
+            self.max_len = -(-self.max_len // DECODE_BLOCK) * DECODE_BLOCK
+            self.layout, self.kv_quant = "flat", self.kv_quant[:4]
+        self._flat = self.layout == "flat"
         self._build()
 
     # ------------------------------------------------------------------ jits
@@ -87,11 +111,12 @@ class ContinuousBatcher:
         cfg, P, B, K = self.cfg, self.P, self.B, self.K
         max_len = self.max_len
 
-        def admit_row(params, pool_k, pool_v, cur_tok, cache_len, done,
+        def admit_row(params, pool, cur_tok, cache_len, done,
                       hid_buf, cnt, embeds, mask, slot):
             """Prefill one (pre-embedded, possibly visual-spliced) prompt and
             install it into `slot` — one dispatch."""
-            cache = llm.init_kv_cache(cfg, 1, P, dtype=pool_k.dtype)
+            cache = llm.init_kv_cache(cfg, 1, P, dtype=self.dtype,
+                                      quant=self.kv_quant, layout=self.layout)
             hidden, cache = llm.forward(params, cfg, embeds,
                                         attention_mask=mask, kv_cache=cache,
                                         flash_fn=self._flash_fn)
@@ -100,13 +125,16 @@ class ContinuousBatcher:
             logits = llm.lm_logits(params, cfg, last).astype(jnp.float32)
             tok = jnp.argmax(logits, -1).astype(jnp.int32)
 
-            zeros_k = jnp.zeros((pool_k.shape[0], pool_k.shape[2],
-                                 max_len - P, pool_k.shape[4]), pool_k.dtype)
-            full_k = jnp.concatenate([cache["k"][:, 0], zeros_k], axis=2)
-            full_v = jnp.concatenate([cache["v"][:, 0],
-                                      jnp.zeros_like(zeros_k)], axis=2)
-            pool_k = pool_k.at[:, slot].set(full_k)
-            pool_v = pool_v.at[:, slot].set(full_v)
+            # install the prefilled row into the pool's slot: each leaf's
+            # first P length-slots are written, the tail stays zero/masked
+            new_pool = {}
+            for name, buf in pool.items():
+                row = cache[name][:, 0]            # drop the batch=1 axis
+                ax = _len_axis(name, self._flat)   # length axis in the POOL
+                idx = [slice(None)] * buf.ndim
+                idx[1] = slot
+                idx[ax] = slice(0, row.shape[ax - 1])
+                new_pool[name] = buf.at[tuple(idx)].set(row)
             cur_tok = cur_tok.at[slot].set(tok)
             cache_len = cache_len.at[slot].set(length)
             done = done.at[slot].set(False)
@@ -115,25 +143,25 @@ class ContinuousBatcher:
                 # token 0 comes from the prefill's last hidden state
                 hid_buf = hid_buf.at[slot, 0].set(last.astype(hid_buf.dtype))
                 cnt = cnt.at[slot].set(0)
-            return pool_k, pool_v, cur_tok, cache_len, done, hid_buf, cnt
+            return new_pool, cur_tok, cache_len, done, hid_buf, cnt
 
         self._admit_row = jax.jit(admit_row)
         self._embed = jax.jit(lambda p, ids: llm.embed(p, ids).astype(self.dtype))
 
-        def decode_segment(params, pool_k, pool_v, cur_tok, cache_len, done,
+        def decode_segment(params, pool, cur_tok, cache_len, done,
                            hid_buf, cnt):
             key_pos = jnp.arange(max_len, dtype=jnp.int32)[None]
             batch_idx = jnp.arange(B)
 
             def step(carry, _):
-                pk, pv, tok, clen, dn, hb, ct = carry
+                pool_c, tok, clen, dn, hb, ct = carry
                 emit = jnp.where(dn, jnp.int32(self.pad_id), tok)
                 emit_valid = ~dn
                 dn = dn | (tok == self.eos_id)
-                x = llm.embed(params, tok)[:, None].astype(pk.dtype)
+                x = llm.embed(params, tok)[:, None].astype(self.dtype)
                 key_mask = key_pos <= clen[:, None]
-                hidden, cache = llm.decode_step(
-                    params, cfg, {"k": pk, "v": pv}, x, clen, key_mask)
+                hidden, pool_c = llm.decode_step(
+                    params, cfg, pool_c, x, clen, key_mask)
                 logits = llm.lm_logits(params, cfg,
                                        hidden[:, 0]).astype(jnp.float32)
                 nxt = jnp.argmax(logits, -1).astype(jnp.int32)
@@ -146,15 +174,14 @@ class ContinuousBatcher:
                     idx = jnp.minimum(ct2, self.N)
                     hb = hb.at[batch_idx, idx].set(
                         hidden[:, 0].astype(hb.dtype))
-                return (cache["k"], cache["v"], nxt, clen, dn, hb, ct2), \
-                    (emit, emit_valid)
+                return (pool_c, nxt, clen, dn, hb, ct2), (emit, emit_valid)
 
-            carry = (pool_k, pool_v, cur_tok, cache_len, done, hid_buf, cnt)
+            carry = (pool, cur_tok, cache_len, done, hid_buf, cnt)
             carry, (toks, valid) = jax.lax.scan(step, carry, None, length=K)
             # one packed host readback: [B, K] tokens, [B, K] valid, [B] done
             packed = jnp.concatenate(
                 [toks.T, valid.T.astype(jnp.int32),
-                 carry[4].astype(jnp.int32)[:, None]], axis=1)
+                 carry[3].astype(jnp.int32)[:, None]], axis=1)
             return carry, packed
 
         self._decode_segment = jax.jit(decode_segment)
@@ -205,9 +232,8 @@ class ContinuousBatcher:
         budgets = [min(int(b), self.N) for b in budgets]
         assert len(budgets) == n_req
 
-        pool_k = jnp.zeros((cfg.num_layers, self.B, cfg.num_kv_heads,
-                            self.max_len, cfg.head_dim), self.dtype)
-        pool_v = jnp.zeros_like(pool_k)
+        pool = llm.init_kv_cache(cfg, self.B, self.max_len, dtype=self.dtype,
+                                 quant=self.kv_quant, layout=self.layout)
         cur_tok = jnp.zeros((self.B,), jnp.int32)
         cache_len = jnp.zeros((self.B,), jnp.int32)
         done = jnp.ones((self.B,), bool)          # empty slots count as done
@@ -222,18 +248,16 @@ class ContinuousBatcher:
         next_req = 0
         finished: List[Finished] = []
 
-        def admit(slot, pool_k, pool_v, cur_tok, cache_len, done,
-                  hid_buf, cnt):
+        def admit(slot, pool, cur_tok, cache_len, done, hid_buf, cnt):
             nonlocal next_req
             embeds, mask = self._bucket_embeds(prompts[next_req])
-            (pool_k, pool_v, cur_tok, cache_len, done, hid_buf,
-             cnt) = self._admit_row(
-                self.params, pool_k, pool_v, cur_tok, cache_len, done,
+            (pool, cur_tok, cache_len, done, hid_buf, cnt) = self._admit_row(
+                self.params, pool, cur_tok, cache_len, done,
                 hid_buf, cnt, embeds, mask, slot)
             slot_req[slot] = next_req
             slot_tokens[slot] = []
             next_req += 1
-            return pool_k, pool_v, cur_tok, cache_len, done, hid_buf, cnt
+            return pool, cur_tok, cache_len, done, hid_buf, cnt
 
         def harvest(slot, budget, hid_buf) -> Finished:
             toks = slot_tokens[slot][: budget]
@@ -252,7 +276,7 @@ class ContinuousBatcher:
                                               np.float32)
             return fin
 
-        state = (pool_k, pool_v, cur_tok, cache_len, done, hid_buf, cnt)
+        state = (pool, cur_tok, cache_len, done, hid_buf, cnt)
         # initial fill
         for b in range(min(self.B, n_req)):
             state = admit(b, *state)
@@ -272,9 +296,9 @@ class ContinuousBatcher:
                 budget = budgets[slot_req[b]]
                 over_budget = len(slot_tokens[b]) >= budget
                 if done_h[b] or over_budget:
-                    finished.append(harvest(b, budget, state[5]))
+                    finished.append(harvest(b, budget, state[4]))
                     slot_req[b] = -1
-                    state = state[:4] + (state[4].at[b].set(True),) + state[5:]
+                    state = state[:3] + (state[3].at[b].set(True),) + state[4:]
                     if next_req < n_req:
                         state = admit(b, *state)
             if next_req >= n_req and all(r < 0 for r in slot_req):
