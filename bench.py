@@ -92,14 +92,16 @@ def main():
     # hangs — not acceptable for the unattended bench contract. 7b runs
     # batch 36 (round-4: 2.776 img/s vs 2.746 at 32, stable windows;
     # 40 still OOMs; round-3 ladder at 32: 2.539/1.29x, 24 -> 2.307,
-    # 20 -> 2.154); 13b batch 14 (round-4 default — measured ladder, stable
-    # windows each: 8 -> 0.940, 12 -> 1.170, 14 -> 1.256 img/s, 16 OOMs
-    # HBM; +34% raw over the old batch-8 default at the same ~1.12x
-    # like-for-like ratio since the analytic baseline is granted the
-    # same batch).
+    # 20 -> 2.154); 13b batch 24 with chunked encode/prefill (round-4
+    # ladder, stable windows each: 8 -> 0.940, 12 -> 1.170, 14 -> 1.256
+    # [un-chunked ceiling], then SAM/prefill chunking bounds the
+    # activation transients so the freed HBM buys decode batch:
+    # 16 -> 1.357, 20 -> 1.474, 24 -> 1.596 img/s; 26/28 OOM. +70% raw
+    # over the round-3 batch-8 default; 11.28x the as-written unbatched
+    # reference, 1.08x like-for-like batched).
     batch = int(os.environ.get(
         "BENCH_BATCH",
-        {"7b": "36", "13b": "14"}.get(model_kind, "16")))
+        {"7b": "36", "13b": "24"}.get(model_kind, "16")))
 
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
     if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
@@ -144,10 +146,17 @@ def main():
                                                           "int8_flat",
                                                           "int4_flat")
                               else False,
+                              # 13b defaults chunk the SAM encode and the
+                              # prefill into 4-image sub-batches: the
+                              # bounded activation transients free the HBM
+                              # that buys decode batch 14 -> 24 (see the
+                              # batch-ladder note below)
                               sam_encode_chunk=int(os.environ.get(
-                                  "BENCH_SAM_CHUNK", "0")),
+                                  "BENCH_SAM_CHUNK",
+                                  "4" if model_kind == "13b" else "0")),
                               prefill_chunk=int(os.environ.get(
-                                  "BENCH_PREFILL_CHUNK", "0")),
+                                  "BENCH_PREFILL_CHUNK",
+                                  "4" if model_kind == "13b" else "0")),
                               # growing-cache decode segments are OFF: the
                               # segmented scans measured a large REGRESSION
                               # at the 512-token budget (1B batch16: 5782 ms
