@@ -90,9 +90,10 @@ def main():
     # batch 16 is the stable 1b default; 24 peaks ~7% higher (9.78 img/s
     # measured) but sits on the HBM edge and intermittently collapses or
     # hangs — not acceptable for the unattended bench contract. 7b runs
-    # batch 36 (round-4: 2.776 img/s vs 2.746 at 32, stable windows;
-    # 40 still OOMs; round-3 ladder at 32: 2.539/1.29x, 24 -> 2.307,
-    # 20 -> 2.154); 13b batch 24 with chunked encode/prefill (round-4
+    # batch 48 with chunked encode/prefill (round-4: 3.005 img/s; 36
+    # un-chunked -> 2.776, 40 un-chunked OOMs, 56/64 chunked OOM;
+    # round-3 ladder at 32: 2.539/1.29x); 13b batch 24 with chunked
+    # encode/prefill (round-4
     # ladder, stable windows each: 8 -> 0.940, 12 -> 1.170, 14 -> 1.256
     # [un-chunked ceiling], then SAM/prefill chunking bounds the
     # activation transients so the freed HBM buys decode batch:
@@ -101,7 +102,7 @@ def main():
     # reference, 1.08x like-for-like batched).
     batch = int(os.environ.get(
         "BENCH_BATCH",
-        {"7b": "36", "13b": "24"}.get(model_kind, "16")))
+        {"7b": "48", "13b": "24"}.get(model_kind, "16")))
 
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
     if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
@@ -153,10 +154,12 @@ def main():
                               # batch-ladder note below)
                               sam_encode_chunk=int(os.environ.get(
                                   "BENCH_SAM_CHUNK",
-                                  "4" if model_kind == "13b" else "0")),
+                                  {"13b": "4", "7b": "8"}.get(model_kind,
+                                                              "0"))),
                               prefill_chunk=int(os.environ.get(
                                   "BENCH_PREFILL_CHUNK",
-                                  "4" if model_kind == "13b" else "0")),
+                                  {"13b": "4", "7b": "8"}.get(model_kind,
+                                                              "0"))),
                               # growing-cache decode segments are OFF: the
                               # segmented scans measured a large REGRESSION
                               # at the 512-token budget (1B batch16: 5782 ms
