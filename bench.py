@@ -305,9 +305,15 @@ def main():
     # Defense: several independent timing windows, each forcing its own
     # readback; report the BEST window as the software's speed and publish
     # every window for the record.
+    # ... and the first executions of a freshly-compiled program can run a
+    # further platform warm-up transient (round-4's committed 13B artifact
+    # carried a 1.054-vs-1.596 window 1). Run discarded warmup window(s)
+    # first and record them separately so the timed windows are clean.
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    warmup_windows = int(os.environ.get("BENCH_WARMUP_WINDOWS", "1"))
     win_dt = []
-    for w in range(windows):
+    warm_dt = []
+    for w in range(warmup_windows + windows):
         t0 = time.perf_counter()
         acc = []
         if split:
@@ -323,7 +329,8 @@ def main():
                 out = fn(params, images, input_ids, attn)
                 acc.append(out.tokens.sum() + out.mask_scores.sum())
         float(sum(acc))      # one readback forcing this window's programs
-        win_dt.append((time.perf_counter() - t0) / iters)
+        (warm_dt if w < warmup_windows else win_dt).append(
+            (time.perf_counter() - t0) / iters)
     dt = min(win_dt)
     med_dt = sorted(win_dt)[len(win_dt) // 2]
 
@@ -351,6 +358,8 @@ def main():
         "vs_baseline_unbatched_ref": round(value / a100_unbatched, 2),
         "windows_img_s": [round(batch / d, 3) for d in win_dt],
         "median_img_s": round(batch / med_dt, 4),
+        "discarded_warmup_windows_img_s": [round(batch / d, 3)
+                                           for d in warm_dt],
     }
     print(json.dumps(result))
     print(f"# params={n_params/1e9:.2f}B latency={dt*1000:.1f}ms/batch{batch} "

@@ -130,19 +130,35 @@ def make_sharded_generate(mesh: Mesh, cfg, *, max_new_tokens: int,
 
 def make_dp_generate(mesh: Mesh, cfg, *, max_new_tokens: int, max_segs: int,
                      eos_id: int, visual_stream: str = "sam",
-                     speculative_k: int = 0):
+                     speculative_k: int = 0,
+                     shard_seg_budget: str = "split"):
     """shard_map data-parallel generate: the COMPLETE single-chip program
     (Pallas kernels, flat quantized caches) runs per device on its local
     batch shard; params replicate. Requires:
       * a ("dp",)-only mesh (tp inside shard_map would need manual
-        collectives in the kernels),
+        collectives in the kernels — make_tp_generate in parallel/tp.py
+        provides that path),
       * one conversation row per image (row_image_idx == arange(B) — the
-        bench/serving layout), B % dp == 0, max_segs % dp == 0.
-    Each local shard extracts max_segs/dp [SEG]s; outputs concatenate to the
-    global layout with seg_rows re-offset to global row indices."""
+        bench/serving layout; asserted host-side), B % dp == 0,
+        max_segs % dp == 0.
+
+    shard_seg_budget:
+      "split" (default) — each shard extracts max_segs/dp [SEG]s. NOT always
+        equivalent to the single-device global budget: a shard whose rows
+        hold more than max_segs/dp [SEG]s drops the excess even though other
+        shards have spare budget. Fine for workloads with a per-row seg
+        bound <= max_segs/(dp*rows_per_shard) (the bench/serving layouts).
+      "full" — every shard extracts up to max_segs, then a global row-major
+        compaction keeps the first max_segs valid entries: EXACTLY the
+        single-device semantics for any seg distribution, at the cost of a
+        transient dp x max_segs canvas buffer.
+    Outputs concatenate to the global layout with seg_rows re-offset to
+    global row indices."""
     assert tuple(mesh.axis_names) == ("dp",), mesh.axis_names
+    assert shard_seg_budget in ("split", "full"), shard_seg_budget
     dp = mesh.shape["dp"]
     assert max_segs % dp == 0, (max_segs, dp)
+    local_segs = max_segs if shard_seg_budget == "full" else max_segs // dp
     try:
         from jax import shard_map
         # v0.8+ API: vma checking must be off — the Pallas kernels inside
@@ -160,7 +176,7 @@ def make_dp_generate(mesh: Mesh, cfg, *, max_new_tokens: int, max_segs: int,
             attention_mask=attention_mask,
             row_image_idx=jnp.arange(b, dtype=jnp.int32),
             pixel_hw=pixel_hw, max_new_tokens=max_new_tokens,
-            max_segs=max_segs // dp, eos_id=eos_id,
+            max_segs=local_segs, eos_id=eos_id,
             visual_stream=visual_stream, speculative_k=speculative_k)
         # globalize seg_rows: local row j on shard i is global row i*b + j
         idx = jax.lax.axis_index("dp")
@@ -172,11 +188,36 @@ def make_dp_generate(mesh: Mesh, cfg, *, max_new_tokens: int, max_segs: int,
         in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=_evaluate_out_specs(mesh), **smap_kw)
 
-    def wrapper(params, images, input_ids, attention_mask, row_image_idx,
+    def wrapper(params, images, input_ids, attention_mask, pixel_hw):
+        out = smapped(params, images, input_ids, attention_mask, pixel_hw)
+        if shard_seg_budget == "full":
+            # global row-major compaction to the first max_segs valid segs
+            # (shard-local seg order is row-major and shards concatenate in
+            # row order, so concat order == single-device global order)
+            (sel,) = jnp.nonzero(out.seg_valid, size=max_segs, fill_value=0)
+            n_valid = jnp.minimum(out.seg_valid.sum(), max_segs)
+            keep = jnp.arange(max_segs) < n_valid
+            out = out._replace(
+                pred_masks=out.pred_masks[sel],
+                seg_valid=keep,
+                seg_rows=jnp.where(keep, out.seg_rows[sel], 0),
+                mask_scores=jnp.where(keep, out.mask_scores[sel], 0.0))
+        return out
+
+    jitted = jax.jit(wrapper)
+
+    def checked(params, images, input_ids, attention_mask, row_image_idx,
                 pixel_hw):
-        del row_image_idx                  # fixed arange layout per contract
-        return smapped(params, images, input_ids, attention_mask, pixel_hw)
-    return jax.jit(wrapper)
+        # host-side contract check: the dp program substitutes a local
+        # arange, which is only correct for the one-row-per-image layout
+        import numpy as np
+        rii = np.asarray(row_image_idx)
+        assert np.array_equal(rii, np.arange(rii.shape[0])), \
+            "make_dp_generate requires row_image_idx == arange(B) " \
+            "(one conversation row per image); use make_sharded_generate " \
+            "for multi-row-per-image layouts"
+        return jitted(params, images, input_ids, attention_mask, pixel_hw)
+    return checked
 
 
 def _evaluate_out_specs(mesh: Mesh):

@@ -503,7 +503,11 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print, mesh=None):
             now = _time.perf_counter()
             group_secs.append((now - t_prev, len(pending[0])))
             t_prev = now
-        pending = (samples, batch, db, out, counts, ev, questions)
+        # keep only the fields harvest() reads: holding the full outputs
+        # would pin both batches' [max_segs, S, S] mask canvases on device
+        # while the next batch's programs run (~2x the eval-output HBM)
+        pending = (samples, batch, db, out._replace(pred_masks=None),
+                   counts, ev._replace(pred_masks=None), questions)
     if pending is not None:
         harvest(*pending)
         now = _time.perf_counter()

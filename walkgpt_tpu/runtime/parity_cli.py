@@ -87,7 +87,15 @@ def record(args):
         m = int(ev.seg_valid.sum())
         h, w = db.resize_list[0]
         oh, ow = sample.label.shape[:2] if sample.label is not None else (h, w)
-        masks = (np.asarray(ev.pred_masks[:m])[:, :h, :w] > 0).astype(np.uint8)
+        # masks at ORIGINAL image size, matching the reference recorder
+        # (postprocess_masks crops the pad then bilinearly resizes the
+        # LOGITS to original_size before binarizing, model/walkgpt.py:749-790)
+        if m:
+            logits = walkgpt.finalize_masks(ev.pred_masks[:m], (h, w),
+                                            (int(oh), int(ow)))
+            masks = (np.asarray(logits) > 0).astype(np.uint8)
+        else:
+            masks = np.zeros((0, int(oh), int(ow)), np.uint8)
         key = os.path.splitext(os.path.basename(sample.image_path))[0]
         key = f"{i}:{key}"
         keys.append(key)
@@ -100,16 +108,28 @@ def record(args):
 
 
 def _giou_drift(a: np.ndarray, b: np.ndarray) -> float:
-    """Max over masks of |IoU(a_i, b_i) - 1| (1e-3 contract)."""
+    """Max over masks of |IoU(a_i, b_i) - 1| (1e-3 contract). Mask-count or
+    per-mask SHAPE mismatches report drift 1.0 (a definite FAIL) rather
+    than raising — cross-framework recordings disagree exactly when one
+    side resized differently."""
     if a.shape[0] != b.shape[0]:
         return 1.0
     worst = 0.0
     for i in range(a.shape[0]):
         ai, bi = a[i] > 0, b[i] > 0
+        if ai.shape != bi.shape:
+            return 1.0
         union = (ai | bi).sum()
         iou = 1.0 if union == 0 else (ai & bi).sum() / union
         worst = max(worst, 1.0 - iou)
     return worst
+
+
+def _norm_key(k: str) -> str:
+    """'{i}:{basename}' with the image extension stripped — our recorder
+    writes splitext'd basenames, the reference recorder keeps '.jpg'."""
+    i, _, name = str(k).partition(":")
+    return f"{i}:{os.path.splitext(name)[0]}"
 
 
 def compare(args):
@@ -119,15 +139,18 @@ def compare(args):
     n = min(len(ka), len(kb))
     failures = []
     for i in range(n):
+        key_ok = _norm_key(ka[i]) == _norm_key(kb[i])
         ta, tb = ra[f"tokens_{i}"], rb[f"tokens_{i}"]
         tok_ok = ta.shape == tb.shape and bool(np.array_equal(ta, tb))
         drift = _giou_drift(ra[f"masks_{i}"], rb[f"masks_{i}"])
-        status = "OK" if tok_ok and drift <= args.tol else "FAIL"
+        status = "OK" if key_ok and tok_ok and drift <= args.tol else "FAIL"
         if status == "FAIL":
             failures.append(i)
+        key_note = "" if key_ok else \
+            f" SAMPLE-KEY MISMATCH ({ka[i]!r} vs {kb[i]!r} — misaligned recordings?)"
         print(f"[parity {status}] sample {i}: tokens "
               f"{'identical' if tok_ok else f'DIFFER ({ta.shape} vs {tb.shape})'}"
-              f", mask gIoU drift {drift:.2e} (tol {args.tol})")
+              f", mask gIoU drift {drift:.2e} (tol {args.tol}){key_note}")
     if failures:
         print(f"PARITY FAILED on samples {failures}")
         return 1
