@@ -128,9 +128,16 @@ class LLMConfig:
     # overhead (x num_layers per step) outweighs the full-bandwidth cache
     # reads — see ops/flash_attention.py decode-attention notes.
     fused_decode: bool = False
+    # explicit head_dim override. None = hidden_size // num_heads. Set by
+    # parallel/tp.tp_llm_cfg for manual tensor parallelism, where the LOCAL
+    # config halves/quarters num_heads while hidden_size (the replicated
+    # residual width) stays global — the derived quotient would be wrong.
+    head_dim_value: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_value is not None:
+            return self.head_dim_value
         return self.hidden_size // self.num_heads
 
 

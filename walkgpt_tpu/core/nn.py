@@ -92,7 +92,14 @@ def linear_init(key, d_in: int, d_out: int, *, bias: bool = True,
     return p
 
 
-def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def linear(p: Params, x: jnp.ndarray, amax_reduce=None) -> jnp.ndarray:
+    """amax_reduce: optional fn(ax) -> ax applied to the per-token activation
+    absmax BEFORE quantizing on the "a8" path. Manual tensor parallelism
+    (parallel/tp.py) passes lax.pmax over the tp axis for ROW-parallel
+    projections, whose input is head-/intermediate-sharded: the global amax
+    makes every shard's int8 codes identical to the single-device program's
+    (a local amax would re-bin each shard differently — measured 5e-2
+    hidden-state drift at tiny scale). Ignored by the non-a8 paths."""
     if "a8" in p:    # W8A8: dynamic per-token int8 activations (ops/quant.py)
         # the elementwise quantize stays in the input dtype: upcasting the
         # whole activation to fp32 halves the realized int8 MXU rate at
@@ -107,6 +114,8 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # at every SAM-block shape (MLP 19.3 vs 10.7 ms) — see the module
         # docstring there before "optimizing" this again.
         ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        if amax_reduce is not None:
+            ax = amax_reduce(ax)
         inv = (127.0 / jnp.maximum(ax.astype(jnp.float32), 1e-8)).astype(x.dtype)
         sx = 1.0 / inv.astype(jnp.float32)
         xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)

@@ -177,8 +177,18 @@ def _norm(p, x, cfg: LLMConfig):
     return nn.layer_norm(p, x, eps=cfg.norm_eps)
 
 
-def _proj(p, x):
-    y = nn.linear(p, x)          # handles dense and int8-quantized weights
+def _amax_reduce_for(tp_axis: Optional[str]):
+    """Global-amax reduction for W8A8 activation quantization on ROW-parallel
+    projections under manual tp (core.nn.linear amax_reduce): pmax over the
+    tp axis recovers the single-device per-token absmax, so every shard
+    quantizes with identical codes. None (no tp) -> no hook."""
+    if tp_axis is None:
+        return None
+    return lambda ax: jax.lax.pmax(ax, tp_axis)
+
+
+def _proj(p, x, amax_reduce=None):
+    y = nn.linear(p, x, amax_reduce=amax_reduce)
     if "lora_a" in p:
         scale = p.get("lora_scale", 1.0)
         # keep the activation dtype: a f32 lora_scale leaf must not upcast a
@@ -187,26 +197,37 @@ def _proj(p, x):
     return y
 
 
-def _mlp(p, x, cfg: LLMConfig):
+def _mlp(p, x, cfg: LLMConfig, tp_axis: Optional[str] = None):
     inner = p.get("down", p.get("fc2", {}))
     if "w_p4t" in inner:
         # nibble-packed int4 MLP: ONE fused Pallas launch per decode step
-        # (0.5 bytes/param weight reads), XLA dual-dots for full sequences
+        # (0.5 bytes/param weight reads), XLA dual-dots for full sequences.
+        # Weight-only (float activations), so under manual tp the row-sliced
+        # down dot differs from single-chip only by f32 sum reassociation.
         from ..ops.int4 import mlp_int4
         return mlp_int4(p, x, cfg.act)
-    if isinstance(inner, dict) and "a8" in inner and _FUSED_MLP8:
+    if (isinstance(inner, dict) and "a8" in inner and _FUSED_MLP8
+            and tp_axis is None):
         # W8A8 MLP: ONE fused Pallas launch with int8 dots for decode rows;
         # per-projection XLA int8 dots for full sequences (fused_mlp_int8
         # returns None there). WALKGPT_FUSED_MLP8=0 restores the XLA path.
+        # Under manual tp the XLA path runs instead: the fused kernel
+        # requantizes the intermediate per (row, tile_for(I_local)) group,
+        # which re-bins differently from the single-chip tiling whenever
+        # tile_for(I/tp) != tile_for(I) — the XLA path with a global-amax
+        # hook keeps every shard's codes equal to the single-chip program.
         from ..ops.int4 import fused_mlp_int8, mlp_is_w8a8
         if mlp_is_w8a8(p):
             y = fused_mlp_int8(p, x, cfg.act)
             if y is not None:
                 return y
+    red = _amax_reduce_for(tp_axis)
     if cfg.act == "silu":
         return nn.linear(p["down"],
-                         jax.nn.silu(nn.linear(p["gate"], x)) * nn.linear(p["up"], x))
-    return nn.linear(p["fc2"], nn.gelu_exact(nn.linear(p["fc1"], x)))
+                         jax.nn.silu(nn.linear(p["gate"], x)) * nn.linear(p["up"], x),
+                         amax_reduce=red)
+    return nn.linear(p["fc2"], nn.gelu_exact(nn.linear(p["fc1"], x)),
+                     amax_reduce=red)
 
 
 def _qkv_proj(p, x, cfg: LLMConfig):
@@ -230,6 +251,16 @@ def _qkv_proj(p, x, cfg: LLMConfig):
     return _proj(p["q"], x), _proj(p["k"], x), _proj(p["v"], x)
 
 
+def _psum_tp(x: jnp.ndarray, tp_axis: Optional[str]) -> jnp.ndarray:
+    """Megatron-style tensor-parallel reduction point. Inside a shard_map
+    over `tp_axis`, the attention o-projection and the MLP down-projection
+    are ROW-parallel (their inputs are head-/intermediate-sharded), so each
+    device holds a partial sum of the residual-stream contribution — psum
+    makes the residual replicated again. tp_axis=None (the single-chip and
+    GSPMD paths) is the identity: GSPMD inserts its own collectives."""
+    return x if tp_axis is None else jax.lax.psum(x, tp_axis)
+
+
 def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
     """[B, n_kv, T, D] -> [B, n_kv*n_rep, T, D] (GQA repeat)."""
     if n_rep == 1:
@@ -246,6 +277,7 @@ def _attention(p, cfg: LLMConfig, x: jnp.ndarray, *,
                kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                flash_fn=None,
                key_valid: Optional[jnp.ndarray] = None,
+               tp_axis: Optional[str] = None,
                ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Self-attention. Returns (output, (k, v)) where k/v are the *new* keys/
     values in [B, n_kv, T, D] (pre-repeat, post-rope) for cache writing.
@@ -276,13 +308,16 @@ def _attention(p, cfg: LLMConfig, x: jnp.ndarray, *,
         out = flash_fn(q, k, v, key_valid)
     else:
         out = mha(q, k, v, mask=mask, bias=bias)
-    return nn.linear(p["o"], merge_heads(out)), new_kv
+    return nn.linear(p["o"], merge_heads(out),
+                     amax_reduce=_amax_reduce_for(tp_axis)), new_kv
 
 
-def _block(p, cfg: LLMConfig, x, **attn_kw):
-    h, new_kv = _attention(p["attn"], cfg, _norm(p["input_norm"], x, cfg), **attn_kw)
-    x = x + h
-    x = x + _mlp(p["mlp"], _norm(p["post_norm"], x, cfg), cfg)
+def _block(p, cfg: LLMConfig, x, tp_axis: Optional[str] = None, **attn_kw):
+    h, new_kv = _attention(p["attn"], cfg, _norm(p["input_norm"], x, cfg),
+                           tp_axis=tp_axis, **attn_kw)
+    x = x + _psum_tp(h, tp_axis)
+    x = x + _psum_tp(_mlp(p["mlp"], _norm(p["post_norm"], x, cfg), cfg,
+                          tp_axis=tp_axis), tp_axis)
     return x, new_kv
 
 
@@ -484,6 +519,7 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
             remat: bool = False,
             prefix_mask: Optional[jnp.ndarray] = None,
             seq_constrain=None,
+            tp_axis: Optional[str] = None,
             ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Full-sequence (training / prefill) forward.
 
@@ -501,6 +537,10 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
     tp all-reduces into reduce-scatter + all-gather pairs and activation
     memory scales 1/tp. Applied OUTSIDE the remat boundary so the stored
     residuals (not just the recompute) are sharded.
+    tp_axis: mesh axis name when running MANUALLY tensor-parallel inside a
+    shard_map (parallel/tp.py): params hold this device's head/intermediate
+    shard, cfg carries LOCAL head counts, and o/down outputs psum over the
+    axis (_psum_tp). None under jit/GSPMD.
     Returns (final-norm hidden states [B, T, H], updated kv_cache or None).
     """
     b, t, _ = inputs_embeds.shape
@@ -521,6 +561,10 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
 
     bias = None
     if cfg.pos_emb == "alibi":
+        if tp_axis is not None:
+            raise NotImplementedError(
+                "manual tp: ALiBi slopes index GLOBAL heads; shard the "
+                "slope table before localizing cfg (not implemented)")
         pos = jnp.arange(t, dtype=jnp.int32)
         bias = alibi_bias(cfg, pos, pos)[None]
 
@@ -530,8 +574,9 @@ def forward(params: Params, cfg: LLMConfig, inputs_embeds: jnp.ndarray, *,
     new_cache = dict(kv_cache) if kv_cache is not None else None
 
     def block_fn(layer, x):
-        return _block(layer, cfg, x, positions=positions, mask=mask,
-                      bias=bias, flash_fn=flash_fn, key_valid=attention_mask)
+        return _block(layer, cfg, x, tp_axis=tp_axis, positions=positions,
+                      mask=mask, bias=bias, flash_fn=flash_fn,
+                      key_valid=attention_mask)
     if remat:
         block_fn = jax.checkpoint(block_fn,
                                   policy=jax.checkpoint_policies.nothing_saveable)
@@ -644,6 +689,7 @@ def forward_pipelined(params: Params, cfg: LLMConfig,
 
 def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
                  inputs_embeds: jnp.ndarray, cache_len: jnp.ndarray,
+                 tp_axis: Optional[str] = None,
                  ) -> Tuple[jnp.ndarray, Params]:
     """Multi-token decode against the cache: process T proposed tokens in ONE
     pass (weights read once for the whole chunk) — the verification step of
@@ -659,7 +705,7 @@ def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
     block ONCE for the whole chunk)."""
     if _cache_is_flat(kv_cache):
         return _decode_chunk_flat(params, cfg, kv_cache, inputs_embeds,
-                                  cache_len)
+                                  cache_len, tp_axis=tp_axis)
     b, t, _ = inputs_embeds.shape
     l_max = kv_cache["k"].shape[3]
     positions = cache_len[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
@@ -706,13 +752,17 @@ def decode_chunk(params: Params, cfg: LLMConfig, kv_cache: Params,
         n_rep = cfg.num_heads // cfg.num_kv_heads
         att = mha(q, _repeat_kv(k_cache, n_rep), _repeat_kv(v_cache, n_rep),
                   mask=mask)
-        x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
-        x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
+        x = x + _psum_tp(nn.linear(layer["attn"]["o"], merge_heads(att),
+                                   amax_reduce=_amax_reduce_for(tp_axis)),
+                         tp_axis)
+        x = x + _psum_tp(_mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg),
+                              cfg, tp_axis=tp_axis), tp_axis)
     return _norm(params["final_norm"], x, cfg), out_cache
 
 
 def _decode_chunk_flat(params: Params, cfg: LLMConfig, kv_cache: Params,
                        inputs_embeds: jnp.ndarray, cache_len: jnp.ndarray,
+                       tp_axis: Optional[str] = None,
                        ) -> Tuple[jnp.ndarray, Params]:
     """decode_chunk over the QUANTIZED flat cache (int8 rows or nibble-packed
     int4): quantize + scatter the chunk's K/V at per-row compact slots
@@ -770,8 +820,11 @@ def _decode_chunk_flat(params: Params, cfg: LLMConfig, kv_cache: Params,
             out_cache["v"], out_cache["v_scale"], cache_len,
             n_kv=cfg.num_kv_heads, head_dim=cfg.head_dim, pack4=pack4,
             layer=i)
-        x = x + nn.linear(layer["attn"]["o"], att)
-        x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
+        x = x + _psum_tp(nn.linear(layer["attn"]["o"], att,
+                                   amax_reduce=_amax_reduce_for(tp_axis)),
+                         tp_axis)
+        x = x + _psum_tp(_mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg),
+                              cfg, tp_axis=tp_axis), tp_axis)
     return _norm(params["final_norm"], x, cfg), out_cache
 
 
@@ -781,8 +834,15 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 write_slot: Optional[jnp.ndarray] = None,
                 attend_len: Optional[int] = None,
                 valid_len: Optional[jnp.ndarray] = None,
+                tp_axis: Optional[str] = None,
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step.
+
+    tp_axis: mesh axis for MANUAL tensor parallelism inside a shard_map
+    (parallel/tp.py) — params/cfg/cache are this device's kv-head shard and
+    o/down outputs psum over the axis. The one-launch fused layer tail is
+    skipped under tp (the psum boundary falls inside its fusion); the
+    banded Pallas attention kernels and quantized flat caches stay.
 
     valid_len: optional TRACED int32 scalar — no cache slot at or beyond it
     is valid this step (flat quantized caches only: the Pallas kernel skips
@@ -808,6 +868,9 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
     positions = cache_len[:, None]
     bias = None
     if cfg.pos_emb == "alibi":
+        if tp_axis is not None:
+            raise NotImplementedError(
+                "manual tp: ALiBi slopes index GLOBAL heads (see forward)")
         l_max = kv_cache["k"].shape[3]
         k_pos = jnp.arange(l_max, dtype=jnp.int32)
         dist = jnp.maximum(positions[:, :, None] - k_pos[None, None, :], 0
@@ -896,7 +959,8 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 out_cache["v_scale"] = put_scale_flat(out_cache["v_scale"],
                                                       vsc)
                 from ..ops import fused_layer as fl
-                if fl.FUSED_LAYER and fl.layer_tail_supported(layer, cfg):
+                if (fl.FUSED_LAYER and tp_axis is None
+                        and fl.layer_tail_supported(layer, cfg)):
                     # ONE pallas launch for attention + o-proj + residual +
                     # RMSNorm + int4 MLP (ops/fused_layer.py) — launch-count
                     # is a first-order decode cost on this platform
@@ -922,9 +986,14 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                     out_cache["v"], out_cache["v_scale"], key_mask,
                     n_kv=cfg.num_kv_heads, head_dim=cfg.head_dim,
                     pack4=pack4, layer=i, valid_len=valid_len)
-                x = x + nn.linear(layer["attn"]["o"], att[:, None])
-                x = x + _mlp(layer["mlp"],
-                             _norm(layer["post_norm"], x, cfg), cfg)
+                x = x + _psum_tp(
+                    nn.linear(layer["attn"]["o"], att[:, None],
+                              amax_reduce=_amax_reduce_for(tp_axis)),
+                    tp_axis)
+                x = x + _psum_tp(_mlp(layer["mlp"],
+                                      _norm(layer["post_norm"], x, cfg), cfg,
+                                      tp_axis=tp_axis),
+                                 tp_axis)
                 continue
             # flat fp cache + fused Pallas attention: 4-8 KB cache rows and
             # no head-split relayout of the cache read
@@ -937,8 +1006,14 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
                 q[:, :, 0].reshape(b, cfg.num_heads * cfg.head_dim),
                 out_cache["k"], out_cache["v"], key_mask,
                 n_kv=cfg.num_kv_heads, layer=i)
-            x = x + nn.linear(layer["attn"]["o"], att[:, None])
-            x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
+            x = x + _psum_tp(
+                nn.linear(layer["attn"]["o"], att[:, None],
+                          amax_reduce=_amax_reduce_for(tp_axis)),
+                tp_axis)
+            x = x + _psum_tp(_mlp(layer["mlp"],
+                                  _norm(layer["post_norm"], x, cfg), cfg,
+                                  tp_axis=tp_axis),
+                             tp_axis)
             continue
         # static prefix view of the cache for the attention reads (the
         # growing-cache segments: slots >= attend_len are provably unwritten)
@@ -968,7 +1043,10 @@ def decode_step(params: Params, cfg: LLMConfig, kv_cache: Params,
             n_rep = cfg.num_heads // cfg.num_kv_heads
             att = mha(q, _repeat_kv(k_cache, n_rep), _repeat_kv(v_cache, n_rep),
                       mask=key_mask[:, None, None, :], bias=bias_r)
-        x = x + nn.linear(layer["attn"]["o"], merge_heads(att))
-        x = x + _mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg), cfg)
+        x = x + _psum_tp(nn.linear(layer["attn"]["o"], merge_heads(att),
+                                   amax_reduce=_amax_reduce_for(tp_axis)),
+                         tp_axis)
+        x = x + _psum_tp(_mlp(layer["mlp"], _norm(layer["post_norm"], x, cfg),
+                              cfg, tp_axis=tp_axis), tp_axis)
     x = _norm(params["final_norm"], x, cfg)
     return x, out_cache

@@ -488,6 +488,7 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
                          speculative_k: int = 0,
                          cache_constrain=None,
                          precomputed_sam=None,
+                         tp_axis: Optional[str] = None,
                          ) -> EvaluateOutput:
     """The `evaluate` pipeline (model/walkgpt.py:607-746), one compiled graph:
     greedy decode from visual tokens, extract [SEG] predictor hidden states,
@@ -503,7 +504,11 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
 
     precomputed_sam: optional (feats, sam_tokens) from encode_sam — lets a
     caller split the pipeline into an encode program and this decode+mask
-    program (benchmarks/overlap_e2e.py A/B)."""
+    program (benchmarks/overlap_e2e.py A/B).
+    tp_axis: manual tensor-parallel axis when called INSIDE a shard_map
+    (parallel/tp.make_tp_generate): cfg.llm and params["llm"] are this
+    device's head/intermediate shards; the LLM psums at the megatron
+    boundaries while the vision/projector/mask modules run replicated."""
     if flash_fn is None and cfg.use_flash_attention:
         from ..ops.flash_attention import flash_attention
         flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
@@ -539,7 +544,7 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
             max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
             kv_quant=cfg.kv_quant_cache, draft_k=speculative_k,
             prompt_ids=hist_ids, prefill_chunk=cfg.prefill_chunk,
-            cache_constrain=cache_constrain)
+            cache_constrain=cache_constrain, tp_axis=tp_axis)
     else:
         res = greedy_generate(
             params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
@@ -547,7 +552,7 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
             kv_quant=cfg.kv_quant_cache, prefill_chunk=cfg.prefill_chunk,
             cache_grow_step=cfg.decode_cache_grow,
             scan_segment=cfg.decode_scan_segment,
-            cache_constrain=cache_constrain)
+            cache_constrain=cache_constrain, tp_axis=tp_axis)
 
     # [SEG] over generated tokens; pred_hidden[t] predicted tokens[t], matching
     # the reference's position-1 indexing (model/walkgpt.py:653-671)

@@ -90,7 +90,7 @@ def _pad_cache_len(kv_cache, max_len: int):
 
 
 def _prefill(params, cfg: LLMConfig, inputs_embeds, attention_mask,
-             kv_cache, flash_fn, chunk: int = 0):
+             kv_cache, flash_fn, chunk: int = 0, tp_axis=None):
     """Prompt prefill into a preallocated cache. chunk > 0 processes row
     groups sequentially (lax.fori_loop + in-place dynamic_update_slice into
     the shared cache) — prefill activation temps then scale with the chunk,
@@ -101,7 +101,7 @@ def _prefill(params, cfg: LLMConfig, inputs_embeds, attention_mask,
     if not chunk or b <= chunk or b % chunk:
         return llm.forward(params, cfg, inputs_embeds,
                            attention_mask=attention_mask, kv_cache=kv_cache,
-                           flash_fn=flash_fn)
+                           flash_fn=flash_fn, tp_axis=tp_axis)
     hidden0 = jnp.zeros((b, t, h), inputs_embeds.dtype)
 
     def body(g, carry):
@@ -112,7 +112,8 @@ def _prefill(params, cfg: LLMConfig, inputs_embeds, attention_mask,
         sub = {k: jnp.zeros((v.shape[0], chunk) + v.shape[2:], v.dtype)
                for k, v in cache.items()}
         hs, sub = llm.forward(params, cfg, emb, attention_mask=msk,
-                              kv_cache=sub, flash_fn=flash_fn)
+                              kv_cache=sub, flash_fn=flash_fn,
+                              tp_axis=tp_axis)
         hidden = jax.lax.dynamic_update_slice_in_dim(hidden, hs, start, 0)
         cache = {k: jax.lax.dynamic_update_slice_in_dim(cache[k], sub[k],
                                                         start, 1)
@@ -130,7 +131,8 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                     prefill_chunk: int = 0,
                     cache_grow_step: int = 0,
                     scan_segment: int = 256,
-                    cache_constrain=None) -> GenerateResult:
+                    cache_constrain=None,
+                    tp_axis: Optional[str] = None) -> GenerateResult:
     """inputs_embeds: [B, T, H] right-padded prompt embeddings;
     attention_mask: [B, T] bool. logits_mask: optional [V] bool of allowed
     tokens (True = allowed) applied at every step. kv_quant stores the KV
@@ -140,6 +142,8 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     constraints to the KV cache (parallel/sharding.cache_constrainer) —
     pins the decode cache's dp/tp layout for sharded inference; the scan
     carry inherits it for every step.
+    tp_axis: manual-tensor-parallel mesh axis inside a shard_map (cfg and
+    params are LOCAL shards; see llm.decode_step) — parallel/tp.py.
 
     cache_grow_step > 0 runs the decode as SEQUENTIAL scan segments over ONE
     full-length cache allocation: segment k's attention dot reads only the
@@ -200,7 +204,7 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
         kv_cache = cache_constrain(kv_cache)
     prefill_hidden, kv_cache = _prefill(
         params, cfg, inputs_embeds, attention_mask, kv_cache, flash_fn,
-        prefill_chunk)
+        prefill_chunk, tp_axis=tp_axis)
     kv_cache = _pad_cache_len(kv_cache, max_len)
     if cache_constrain is not None:
         kv_cache = cache_constrain(kv_cache)
@@ -248,7 +252,7 @@ def greedy_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                 params, cfg, kv, x, cache_len, key_mask,
                 write_slot=base + s,
                 attend_len=attend_len if attend_len < max_len else None,
-                valid_len=base + s + 1)
+                valid_len=base + s + 1, tp_axis=tp_axis)
             nxt = pick(hidden[:, 0])
             nxt = jnp.where(done, jnp.int32(pad_id), nxt)
             return (kv, nxt, hidden[:, 0], cache_len + 1, done), \
@@ -325,7 +329,8 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                          logits_mask: Optional[jnp.ndarray] = None,
                          flash_fn=None, kv_quant="",
                          prefill_chunk: int = 0,
-                         cache_constrain=None) -> GenerateResult:
+                         cache_constrain=None,
+                         tp_axis: Optional[str] = None) -> GenerateResult:
     """Greedy decode with prompt-lookup speculative verification — every
     emitted token is the model's own argmax given its true prefix; only the
     schedule differs: each iteration verifies `draft_k` drafted tokens in
@@ -366,7 +371,7 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
         kv_cache = cache_constrain(kv_cache)
     prefill_hidden, kv_cache = _prefill(
         params, cfg, inputs_embeds, attention_mask, kv_cache, flash_fn,
-        prefill_chunk)
+        prefill_chunk, tp_axis=tp_axis)
     kv_cache = _pad_cache_len(kv_cache, max_len)
     if cache_constrain is not None:
         kv_cache = cache_constrain(kv_cache)
@@ -407,7 +412,8 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
         props = _ngram_propose(hist, hlen, ngram, K)           # [B, K]
         chunk = jnp.concatenate([cur[:, None], props], axis=1)  # [B, K+1]
         embeds = llm.embed(params, chunk).astype(inputs_embeds.dtype)
-        hidden, kv = llm.decode_chunk(params, cfg, kv, embeds, cache_len)
+        hidden, kv = llm.decode_chunk(params, cfg, kv, embeds, cache_len,
+                                      tp_axis=tp_axis)
         preds = pick(hidden.reshape(-1, h)).reshape(b, K + 1)
 
         ok = props == preds[:, :K]                             # [B, K]
