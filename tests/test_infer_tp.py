@@ -55,8 +55,7 @@ def test_tp_dense_token_and_mask_identity():
     ref = _single_device(params, cfg, inputs)
     mesh = _mesh(2, 2)
     tp_params, specs = tpmod.repack_params(params, cfg, mesh)
-    fn = tpmod.make_tp_generate(mesh, cfg, specs, shard_seg_budget="full",
-                                **GEN_KW)
+    fn = tpmod.make_tp_generate(mesh, cfg, specs, **GEN_KW)
     out = fn(tp_params, *inputs)
     np.testing.assert_array_equal(np.asarray(out.tokens),
                                   np.asarray(ref.tokens))
@@ -203,3 +202,65 @@ def test_tp_contract_asserts():
     images, ids, attn, rii, hw = _inputs(cfg)
     with pytest.raises(AssertionError):
         fn(tp_params, images, ids, attn, jnp.zeros_like(rii), hw)
+
+
+def test_tp_forward_teacher_pass_with_row_permutation():
+    """make_tp_forward vs the single-device teacher-forced fwd program on a
+    layout that REQUIRES the host row-permutation plan: image 0 carries two
+    conversation rounds and pad rows sit at the end (the collate layout) —
+    a naive contiguous dp split would cut image shards. Counts, seg rows,
+    and masks must match the single-device program exactly."""
+    from walkgpt_tpu.eval.metrics import device_mask_counts
+
+    cfg = tiny_config()
+    params = walkgpt.init(jax.random.PRNGKey(3), cfg, jnp.float32)
+    B, T, S = 4, 16, cfg.sam.img_size
+    max_segs = 8
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.randn(B, S, S, 3), jnp.float32)
+    # rows: [img0 r0, img0 r1, img1, img2, img3, pad, pad, pad]
+    R = 8
+    ids = np.zeros((R, T), np.int32)
+    attn = np.zeros((R, T), bool)
+    sid = cfg.seg_token_id
+    rii = np.array([0, 0, 1, 2, 3, 0, 0, 0], np.int32)
+    for j in range(5):
+        ids[j, :8] = [1, 5, -200, 6, sid, 7, sid, 2]
+        attn[j, :8] = True
+    for j in range(5, 8):            # pad rows: one live token, no sentinel
+        ids[j, 0] = 1
+        attn[j, 0] = True
+    labels = np.full((R, T), -100, np.int32)
+    gt = rng.rand(max_segs, S, S) > 0.5
+    gt_masks = jnp.asarray(gt, jnp.float32)
+    pixel_hw = jnp.full((B, 2), S, jnp.int32)
+
+    def single(params, images, input_ids, labels, attention_mask,
+               row_image_idx, gt_masks, pixel_hw):
+        out = walkgpt.model_forward(
+            params, cfg, images=images, input_ids=input_ids, labels=labels,
+            attention_mask=attention_mask, row_image_idx=row_image_idx,
+            gt_masks=gt_masks, pixel_hw=pixel_hw, max_segs=max_segs)
+        counts = device_mask_counts(out.pred_masks, gt_masks, out.seg_rows,
+                                    row_image_idx, pixel_hw)
+        return out, counts
+
+    args = (jnp.asarray(images), jnp.asarray(ids), jnp.asarray(labels),
+            jnp.asarray(attn), jnp.asarray(rii), gt_masks, pixel_hw)
+    ref, ref_counts = jax.jit(single)(params, *args)
+
+    mesh = _mesh(2, 2)
+    tp_params, specs = tpmod.repack_params(params, cfg, mesh)
+    fn = tpmod.make_tp_forward(mesh, cfg, specs, max_segs=max_segs)
+    out, counts = fn(tp_params, *args)
+
+    rsv, sv = np.asarray(ref.seg_valid), np.asarray(out.seg_valid)
+    assert rsv.sum() == 10 - 0 or rsv.sum() > 0   # 5 rows x 2 segs, capped 8
+    np.testing.assert_array_equal(sv, rsv)
+    np.testing.assert_array_equal(np.asarray(out.seg_rows),
+                                  np.asarray(ref.seg_rows))
+    np.testing.assert_allclose(np.asarray(counts), np.asarray(ref_counts),
+                               rtol=0, atol=1e-3)
+    drift = np.abs(np.asarray(out.pred_masks)[sv]
+                   - np.asarray(ref.pred_masks)[rsv]).max()
+    assert drift < 1e-3, drift

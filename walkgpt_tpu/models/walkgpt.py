@@ -472,6 +472,62 @@ class EvaluateOutput(NamedTuple):
     mask_scores: jnp.ndarray     # [max_segs]
 
 
+class SegEmbeds(NamedTuple):
+    """Decode/teacher-forced output UP TO the CTP projection — everything
+    except the SAM mask decode. The split exists for the manual-tp path
+    (parallel/tp.py): the [max_segs, 256] embeddings are cheap to carry out
+    of a shard_map and compact globally; the mask decode then runs ONCE on
+    the compacted set (decode_seg_masks), instead of per tp-replica with
+    dp x max_segs canvas transients."""
+    tokens: jnp.ndarray          # [R, max_new] ([R, T] echo on teacher path)
+    lengths: jnp.ndarray         # [R]
+    seg_valid: jnp.ndarray       # [max_segs]
+    seg_rows: jnp.ndarray        # [max_segs]
+    pred_embeddings: jnp.ndarray  # [max_segs, C] CTP outputs
+
+
+def decode_seg_masks(params, cfg: WalkGPTConfig, feats: jnp.ndarray,
+                     pred_embeddings: jnp.ndarray, img_of_seg: jnp.ndarray,
+                     pixel_hw: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SAM mask decode tail shared by generate_and_segment / model_forward's
+    eval consumers: per [SEG] embedding, decode against its image's genuine
+    SAM features (WART-1 / model/walkgpt.py:713-743), upsample to the SAM
+    canvas, and score (mean sigmoid over the predicted-positive valid
+    region, :742). Returns (canvas logits [M, S, S], scores [M]).
+
+    Runs in cfg.mask_decode_chunk-sized lax.map slices — decoding all segs
+    at once co-materializes [M, 64, 64, 256] feature gathers + 1024^2
+    upsamples that pushed big programs past XLA's remat threshold (see the
+    generate_and_segment note)."""
+    img_size = cfg.sam.img_size
+    m = pred_embeddings.shape[0]
+
+    def seg_chunk(emb, img_idx):
+        low_res, _ = sam.decode_masks(params["sam"], sam_config(cfg),
+                                      feats[img_idx],
+                                      text_embeds=emb[:, None],
+                                      multimask_output=False)
+        canvas = bilinear_resize(low_res[:, 0][..., None],
+                                 (img_size, img_size))[..., 0]
+        hw = pixel_hw[img_idx]
+        yy = jnp.arange(img_size)[None, :, None]
+        xx = jnp.arange(img_size)[None, None, :]
+        pixel_valid = (yy < hw[:, 0, None, None]) & (xx < hw[:, 1, None, None])
+        return canvas, _mask_score(canvas, pixel_valid)
+
+    chunk = cfg.mask_decode_chunk
+    if chunk and m > chunk and m % chunk == 0:
+        n = m // chunk
+        pred_canvas, score = jax.lax.map(
+            lambda args: seg_chunk(*args),
+            (pred_embeddings.reshape(n, chunk, -1),
+             img_of_seg.reshape(n, chunk)))
+        return (pred_canvas.reshape(m, img_size, img_size),
+                score.reshape(m))
+    return seg_chunk(pred_embeddings, img_of_seg)
+
+
 def generate_and_segment(params, cfg: WalkGPTConfig, *,
                          images: jnp.ndarray,          # [B, S, S, 3]
                          input_ids: jnp.ndarray,       # [R, T] prompts
@@ -556,60 +612,117 @@ def generate_and_segment(params, cfg: WalkGPTConfig, *,
 
     # [SEG] over generated tokens; pred_hidden[t] predicted tokens[t], matching
     # the reference's position-1 indexing (model/walkgpt.py:653-671)
-    if isinstance(cfg.seg_token_id, (list, tuple)):
-        seg_mask = jnp.zeros_like(res.tokens, bool)
-        for sid in cfg.seg_token_id:
-            seg_mask = seg_mask | (res.tokens == sid)
-    else:
-        seg_mask = res.tokens == cfg.seg_token_id
-    flat = seg_mask.reshape(-1)
-    (seg_idx,) = jnp.nonzero(flat, size=max_segs, fill_value=0)
-    seg_valid = jnp.arange(max_segs) < flat.sum()
-    seg_rows = seg_idx // res.tokens.shape[1]
+    seg_valid, seg_rows, pred_embeddings = _seg_gather(
+        params, cfg, res.tokens, res.pred_hidden, max_segs)
 
-    hid = res.pred_hidden.reshape(-1, res.pred_hidden.shape[-1])[seg_idx]
-    pred_embeddings = ctp_apply(params["ctp"][0], hid)
-
-    img_of_seg = row_image_idx[seg_rows]
-    img_size = cfg.sam.img_size
-
-    def seg_chunk(emb, img_idx):
-        """Mask-decode + canvas upsample + score for one [SEG] chunk."""
-        low_res, _ = sam.decode_masks(params["sam"], sam_config(cfg),
-                                      feats[img_idx],
-                                      text_embeds=emb[:, None],
-                                      multimask_output=False)
-        canvas = bilinear_resize(low_res[:, 0][..., None],
-                                 (img_size, img_size))[..., 0]
-        hw = pixel_hw[img_idx]
-        yy = jnp.arange(img_size)[None, :, None]
-        xx = jnp.arange(img_size)[None, None, :]
-        pixel_valid = (yy < hw[:, 0, None, None]) & (xx < hw[:, 1, None, None])
-        return canvas, _mask_score(canvas, pixel_valid)
-
-    # chunk the tail: decoding all max_segs at once gathers a
-    # [max_segs, 64, 64, 256] feature copy and runs the TwoWayTransformer +
-    # 1024^2 upsample on every seg simultaneously — ~3-4 GB of co-live temps
-    # that pushed the 7B/512-token program past XLA's remat threshold (the
-    # remat then lands in the DECODE LOOP, compressing the KV cache every
-    # step: 57 ms/step vs 14; v5e, 2026-08-18). lax.map runs the identical
-    # math in sequential slices; the decoder is compute-light so the
-    # serialization is free.
-    chunk = cfg.mask_decode_chunk
-    if chunk and max_segs > chunk and max_segs % chunk == 0:
-        n = max_segs // chunk
-        pred_canvas, score = jax.lax.map(
-            lambda args: seg_chunk(*args),
-            (pred_embeddings.reshape(n, chunk, -1),
-             img_of_seg.reshape(n, chunk)))
-        pred_canvas = pred_canvas.reshape(max_segs, img_size, img_size)
-        score = score.reshape(max_segs)
-    else:
-        pred_canvas, score = seg_chunk(pred_embeddings, img_of_seg)
+    # mask-decode tail in lax.map chunks: decoding all max_segs at once
+    # co-materializes ~3-4 GB of feature-gather + 1024^2 upsample temps that
+    # pushed the 7B/512-token program past XLA's remat threshold (the remat
+    # then lands in the DECODE LOOP, compressing the KV cache every step:
+    # 57 ms/step vs 14; v5e, 2026-08-18) — see decode_seg_masks.
+    pred_canvas, score = decode_seg_masks(params, cfg, feats,
+                                          pred_embeddings,
+                                          row_image_idx[seg_rows], pixel_hw)
 
     return EvaluateOutput(tokens=res.tokens, lengths=res.lengths,
                           pred_masks=pred_canvas, seg_valid=seg_valid,
                           seg_rows=seg_rows, mask_scores=score)
+
+
+def _seg_gather(params, cfg: WalkGPTConfig, tokens: jnp.ndarray,
+                pred_hidden: jnp.ndarray, max_segs: int):
+    """[SEG] positions over a generated-token timeline -> (seg_valid,
+    seg_rows, CTP embeddings [max_segs, C])."""
+    if isinstance(cfg.seg_token_id, (list, tuple)):
+        seg_mask = jnp.zeros_like(tokens, bool)
+        for sid in cfg.seg_token_id:
+            seg_mask = seg_mask | (tokens == sid)
+    else:
+        seg_mask = tokens == cfg.seg_token_id
+    flat = seg_mask.reshape(-1)
+    (seg_idx,) = jnp.nonzero(flat, size=max_segs, fill_value=0)
+    seg_valid = jnp.arange(max_segs) < flat.sum()
+    seg_rows = seg_idx // tokens.shape[1]
+    hid = pred_hidden.reshape(-1, pred_hidden.shape[-1])[seg_idx]
+    return seg_valid, seg_rows, ctp_apply(params["ctp"][0], hid)
+
+
+def generate_seg_embeds(params, cfg: WalkGPTConfig, *,
+                        sam_tokens: jnp.ndarray,
+                        input_ids: jnp.ndarray,
+                        attention_mask: jnp.ndarray,
+                        row_image_idx: jnp.ndarray,
+                        max_new_tokens: int, max_segs: int, eos_id: int,
+                        flash_fn=None, speculative_k: int = 0,
+                        tp_axis: Optional[str] = None) -> SegEmbeds:
+    """generate_and_segment WITHOUT the mask-decode tail: SAM-stream visual
+    tokens -> splice -> greedy/speculative decode -> [SEG] gather -> CTP.
+    The manual-tp path (parallel/tp.py) runs this inside a shard_map and
+    mask-decodes the globally compacted embeddings outside."""
+    if flash_fn is None and cfg.use_flash_attention:
+        from ..ops.flash_attention import flash_attention
+        flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
+                                                       key_valid=kv)
+    vis_rows = visual_tokens(params, cfg, sam_tokens)[row_image_idx]
+    sp = splice_visual(params, cfg, input_ids, vis_rows,
+                       attention_mask=attention_mask)
+    if speculative_k > 0:
+        from ..runtime.generate import speculative_generate
+        hist_ids = jnp.where(attention_mask & (input_ids >= 0),
+                             input_ids, -2)
+        res = speculative_generate(
+            params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
+            max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
+            kv_quant=cfg.kv_quant_cache, draft_k=speculative_k,
+            prompt_ids=hist_ids, prefill_chunk=cfg.prefill_chunk,
+            tp_axis=tp_axis)
+    else:
+        res = greedy_generate(
+            params["llm"], cfg.llm, sp.embeds, sp.attention_mask,
+            max_new_tokens=max_new_tokens, eos_id=eos_id, flash_fn=flash_fn,
+            kv_quant=cfg.kv_quant_cache, prefill_chunk=cfg.prefill_chunk,
+            cache_grow_step=cfg.decode_cache_grow,
+            scan_segment=cfg.decode_scan_segment, tp_axis=tp_axis)
+    seg_valid, seg_rows, emb = _seg_gather(params, cfg, res.tokens,
+                                           res.pred_hidden, max_segs)
+    return SegEmbeds(tokens=res.tokens, lengths=res.lengths,
+                     seg_valid=seg_valid, seg_rows=seg_rows,
+                     pred_embeddings=emb)
+
+
+def teacher_seg_embeds(params, cfg: WalkGPTConfig, *,
+                       sam_tokens: jnp.ndarray,
+                       input_ids: jnp.ndarray,
+                       attention_mask: jnp.ndarray,
+                       row_image_idx: jnp.ndarray,
+                       max_segs: int,
+                       flash_fn=None,
+                       tp_axis: Optional[str] = None) -> SegEmbeds:
+    """Teacher-forced [SEG] embeddings (model_forward's inference=True core,
+    model/walkgpt.py:267-447, minus losses): GT conversation rows forward
+    once, [SEG] predictor states via the spliced-timeline mask, CTP. The
+    sharded-eval fwd pass runs this per shard and mask-decodes outside."""
+    if flash_fn is None and cfg.use_flash_attention:
+        from ..ops.flash_attention import flash_attention
+        flash_fn = lambda q, k, v, kv: flash_attention(q, k, v, True,
+                                                       key_valid=kv)
+    vis_rows = visual_tokens(params, cfg, sam_tokens)[row_image_idx]
+    sp = splice_visual(params, cfg, input_ids, vis_rows,
+                       attention_mask=attention_mask)
+    hidden, _ = llm.forward(params["llm"], cfg.llm, sp.embeds,
+                            attention_mask=sp.attention_mask,
+                            flash_fn=flash_fn, tp_axis=tp_axis)
+    seg_mask = seg_timeline_mask(input_ids, cfg.seg_token_id, cfg)
+    flat = seg_mask.reshape(-1)
+    (seg_idx,) = jnp.nonzero(flat, size=max_segs, fill_value=0)
+    seg_valid = jnp.arange(max_segs) < flat.sum()
+    out_len = seg_mask.shape[1]
+    seg_rows = seg_idx // out_len
+    hid = hidden.reshape(-1, hidden.shape[-1])[seg_idx]
+    emb = ctp_apply(params["ctp"][0], hid)
+    lengths = attention_mask.astype(jnp.int32).sum(-1)
+    return SegEmbeds(tokens=input_ids, lengths=lengths, seg_valid=seg_valid,
+                     seg_rows=seg_rows, pred_embeddings=emb)
 
 
 def finalize_masks(pred_canvas: jnp.ndarray, input_hw: Tuple[int, int],

@@ -283,86 +283,261 @@ def _shard_map():
         return shard_map, {"check_rep": False}
 
 
+def plan_dp_rows(row_image_idx, input_ids, dp: int, n_images: int,
+                 image_token_id: int = -200):
+    """Host-side row partitioning plan for a dp split.
+
+    Images split into dp contiguous shards of B/dp. Conversation rows are
+    INDEPENDENT computations (per-row attention), so they may be permuted
+    freely: every row that CARRIES an image (has the -200 sentinel) is
+    assigned to its image's shard; sentinel-free rows (collate pad rows —
+    their visual block is masked out of attention, so their image index is
+    inert) fill the remaining slots. The caller permutes the row arrays by
+    `perm`, runs shard s on permuted rows [s*R/dp, (s+1)*R/dp), and
+    un-permutes outputs; segs re-sort to the EXACT single-device row-major
+    pack order via a stable sort on the original row index.
+
+    Returns (perm [R], inv_perm [R], local_rii [R] — PERMUTED order, values
+    in [0, B/dp)) or None when infeasible (a shard's real rows exceed R/dp,
+    or R/B do not divide dp)."""
+    rii = np.asarray(row_image_idx)
+    ids = np.asarray(input_ids)
+    r = rii.shape[0]
+    if r % dp or n_images % dp:
+        return None
+    rows_per, imgs_per = r // dp, n_images // dp
+    has_img = (ids == image_token_id).any(axis=1)
+    shards = [[] for _ in range(dp)]
+    for i in range(r):
+        if has_img[i]:
+            shards[int(rii[i]) // imgs_per].append(i)
+    free = [i for i in range(r) if not has_img[i]]
+    for s in range(dp):
+        need = rows_per - len(shards[s])
+        if need < 0:
+            return None
+        shards[s] += free[:need]
+        free = free[need:]
+    perm = np.asarray([i for s in shards for i in s], np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(r, dtype=np.int32)
+    local = np.empty((r,), np.int32)
+    for s in range(dp):
+        sl = slice(s * rows_per, (s + 1) * rows_per)
+        local[sl] = np.clip(rii[perm[sl]] - s * imgs_per, 0, imgs_per - 1)
+    return perm, inv, local
+
+
+def _compact_segs_sorted(seg_valid, seg_rows_orig, pred_embeddings,
+                         max_segs: int, n_rows: int):
+    """Compact dp x max_segs per-shard seg slots to the first max_segs in
+    ORIGINAL row-major order: a stable sort on the original row index
+    reproduces the single-device pack order exactly (within-row order is
+    preserved per shard; a row lives in exactly one shard)."""
+    key = jnp.where(seg_valid, seg_rows_orig, n_rows)
+    order = jnp.argsort(key, stable=True)
+    sel = order[:max_segs]
+    n_valid = jnp.minimum(seg_valid.sum(), max_segs)
+    keep = jnp.arange(max_segs) < n_valid
+    return (keep, jnp.where(keep, seg_rows_orig[sel], 0),
+            pred_embeddings[sel])
+
+
 def make_tp_generate(mesh: Mesh, cfg, param_specs: Params, *,
                      max_new_tokens: int, max_segs: int, eos_id: int,
                      speculative_k: int = 0,
-                     shard_seg_budget: str = "split",
-                     encode_shard: bool = True):
+                     encode_shard="auto"):
     """shard_map dp x tp generate_and_segment with the full production
     kernel set under tp (module docstring). Call with params from
     repack_params (param_specs is its spec tree).
 
-    Contracts (asserted): mesh axes ("dp", "tp"); one conversation row per
-    image (row_image_idx == arange(B)); B % dp == 0 (and % (dp*tp) with
-    encode_shard=True, which splits SAM encode over every device);
-    max_segs % dp == 0; visual_stream "sam" (the PAVE validate route —
-    the CLIP stream stays on the GSPMD path).
-    shard_seg_budget as in parallel/infer.make_dp_generate ("split": fast
-    per-shard max_segs/dp budget; "full": exact single-device semantics)."""
+    The decode + [SEG]->CTP stage runs per device (generate_seg_embeds);
+    the [max_segs, 256] embeddings come out of the shard_map, compact
+    globally (exact single-device seg packing for ANY seg distribution),
+    and the mask decode runs ONCE outside on the gathered features — no
+    per-replica canvas transients and no per-shard seg-budget skew.
+
+    Contracts (host-checked): mesh axes ("dp", "tp"); rows/images
+    co-partition under the dp split (plan_dp_rows — the collate layout
+    with B % dp == 0; arbitrary rounds-per-image supported up to the
+    per-shard row capacity); SAM visual stream (the CLIP stream stays on
+    the GSPMD path). encode_shard: True splits SAM encode over ALL dp*tp
+    devices (requires B % (dp*tp) == 0) with one tp all_gather; False
+    replicates encode within each tp group; "auto" (default) picks per
+    call by divisibility."""
     assert tuple(mesh.axis_names) == ("dp", "tp"), mesh.axis_names
-    assert shard_seg_budget in ("split", "full"), shard_seg_budget
     dp, tp = mesh.shape["dp"], mesh.shape["tp"]
-    assert max_segs % dp == 0, (max_segs, dp)
-    local_segs = max_segs if shard_seg_budget == "full" else max_segs // dp
     cfg_l = dataclasses.replace(cfg, llm=tp_llm_cfg(cfg.llm, tp))
     tp_axis = "tp" if tp > 1 else None
+
+    def local_fn2(params, sam_tokens, input_ids, attention_mask,
+                  row_image_idx):
+        from ..models import walkgpt
+        return walkgpt.generate_seg_embeds(
+            params, cfg_l, sam_tokens=sam_tokens, input_ids=input_ids,
+            attention_mask=attention_mask, row_image_idx=row_image_idx,
+            max_new_tokens=max_new_tokens, max_segs=max_segs, eos_id=eos_id,
+            speculative_k=speculative_k, tp_axis=tp_axis)
+
+    jitted = {}            # encode_shard mode -> compiled wrapper
+
+    def get_jitted(enc: bool):
+        if enc not in jitted:
+            smapped = _make_tp_embeds_rii(mesh, cfg, param_specs, local_fn2,
+                                          enc)
+
+            def wrapper(params, images, ids_perm, mask_perm, rii_local,
+                        perm_arr, inv_arr, row_image_idx, pixel_hw):
+                from ..models import walkgpt
+                from ..models.walkgpt import EvaluateOutput
+                se, feats = smapped(params, images, ids_perm, mask_perm,
+                                    rii_local)
+                orig_rows = perm_arr[se.seg_rows]   # permuted -> original
+                keep, rows, emb = _compact_segs_sorted(
+                    se.seg_valid, orig_rows, se.pred_embeddings, max_segs,
+                    ids_perm.shape[0])
+                canvas, score = walkgpt.decode_seg_masks(
+                    params, cfg, feats, emb, row_image_idx[rows], pixel_hw)
+                return EvaluateOutput(tokens=se.tokens[inv_arr],
+                                      lengths=se.lengths[inv_arr],
+                                      pred_masks=canvas, seg_valid=keep,
+                                      seg_rows=rows,
+                                      mask_scores=jnp.where(keep, score,
+                                                            0.0))
+            jitted[enc] = jax.jit(wrapper)
+        return jitted[enc]
+
+    def checked(params, images, input_ids, attention_mask, row_image_idx,
+                pixel_hw):
+        b = int(images.shape[0])
+        plan = plan_dp_rows(row_image_idx, input_ids, dp, b,
+                            cfg.image_token_id)
+        assert plan is not None, \
+            "make_tp_generate: rows cannot partition over " \
+            f"dp={dp} shards (see plan_dp_rows)"
+        perm, inv, local = plan
+        enc = _pick_encode_shard(encode_shard, b, dp, tp)
+        ids = np.asarray(input_ids)[perm]
+        msk = np.asarray(attention_mask)[perm]
+        return get_jitted(enc)(
+            params, images, jnp.asarray(ids), jnp.asarray(msk),
+            jnp.asarray(local), jnp.asarray(perm),
+            jnp.asarray(inv), jnp.asarray(row_image_idx),
+            jnp.asarray(pixel_hw))
+    return checked
+
+
+def _pick_encode_shard(encode_shard, b: int, dp: int, tp: int) -> bool:
+    if encode_shard == "auto":
+        return b % (dp * tp) == 0
+    enc = bool(encode_shard)
+    need = dp * tp if enc else dp
+    assert b % need == 0, (b, dp, tp, encode_shard)
+    return enc
+
+
+def _make_tp_embeds_rii(mesh: Mesh, cfg, param_specs, local_fn,
+                        encode_shard):
+    """_make_tp_embeds variant whose local_fn also takes the LOCAL
+    row_image_idx (P('dp')-sharded)."""
+    from ..models.walkgpt import SegEmbeds
     shard_map, smap_kw = _shard_map()
 
-    def local(params, images, input_ids, attention_mask, pixel_hw):
+    def local(params, images, input_ids, attention_mask, rii_local):
         from ..models import walkgpt
         if encode_shard:
-            # every device encodes its B/(dp*tp) images with the FULL SAM
-            # config, then the tp group reassembles its dp shard's features
             feats_l, toks_l = walkgpt.encode_sam(params, cfg, images)
             feats = jax.lax.all_gather(feats_l, "tp", axis=0, tiled=True)
             sam_tokens = jax.lax.all_gather(toks_l, "tp", axis=0, tiled=True)
         else:
             feats, sam_tokens = walkgpt.encode_sam(params, cfg, images)
-        b = feats.shape[0]
-        out = walkgpt.generate_and_segment(
-            params, cfg_l, images=images, input_ids=input_ids,
-            attention_mask=attention_mask,
-            row_image_idx=jnp.arange(b, dtype=jnp.int32),
-            pixel_hw=pixel_hw, max_new_tokens=max_new_tokens,
-            max_segs=local_segs, eos_id=eos_id,
-            speculative_k=speculative_k,
-            precomputed_sam=(feats, sam_tokens), tp_axis=tp_axis)
+        se = local_fn(params, sam_tokens, input_ids, attention_mask,
+                      rii_local)
         idx = jax.lax.axis_index("dp")
-        seg_rows = jnp.where(out.seg_valid, out.seg_rows + idx * b, 0)
-        return out._replace(seg_rows=seg_rows)
+        rows = jnp.where(se.seg_valid,
+                         se.seg_rows + idx * input_ids.shape[0], 0)
+        return se._replace(seg_rows=rows), feats
 
-    from ..models.walkgpt import EvaluateOutput
     img_spec = P(("dp", "tp")) if encode_shard else P("dp")
-    out_specs = EvaluateOutput(tokens=P("dp"), lengths=P("dp"),
-                               pred_masks=P("dp"), seg_valid=P("dp"),
-                               seg_rows=P("dp"), mask_scores=P("dp"))
-    smapped = shard_map(
+    se_specs = SegEmbeds(tokens=P("dp"), lengths=P("dp"), seg_valid=P("dp"),
+                         seg_rows=P("dp"), pred_embeddings=P("dp"))
+    return shard_map(
         local, mesh=mesh,
         in_specs=(param_specs, img_spec, P("dp"), P("dp"), P("dp")),
-        out_specs=out_specs, **smap_kw)
+        out_specs=(se_specs, P("dp")), **smap_kw)
 
-    def wrapper(params, images, input_ids, attention_mask, pixel_hw):
-        out = smapped(params, images, input_ids, attention_mask, pixel_hw)
-        if shard_seg_budget == "full":
-            (sel,) = jnp.nonzero(out.seg_valid, size=max_segs, fill_value=0)
-            n_valid = jnp.minimum(out.seg_valid.sum(), max_segs)
-            keep = jnp.arange(max_segs) < n_valid
-            out = out._replace(
-                pred_masks=out.pred_masks[sel],
-                seg_valid=keep,
-                seg_rows=jnp.where(keep, out.seg_rows[sel], 0),
-                mask_scores=jnp.where(keep, out.mask_scores[sel], 0.0))
-        return out
 
-    jitted = jax.jit(wrapper)
+def make_tp_forward(mesh: Mesh, cfg, param_specs: Params, *, max_segs: int,
+                    encode_shard="auto"):
+    """Teacher-forced eval pass (runtime/evaluate's fwd program) under the
+    same manual dp x tp scheme: per-shard teacher_seg_embeds -> global
+    compaction -> one mask decode + device IoU counts outside. Losses are
+    NOT computed (eval harvests seg identities + counts only) — the
+    returned ForwardOutput carries NaN loss fields.
 
-    def checked(params, images, input_ids, attention_mask, row_image_idx,
-                pixel_hw):
-        rii = np.asarray(row_image_idx)
-        b = rii.shape[0]
-        assert np.array_equal(rii, np.arange(b)), \
-            "make_tp_generate requires row_image_idx == arange(B)"
-        need = dp * tp if encode_shard else dp
-        assert b % need == 0, (b, dp, tp, encode_shard)
-        return jitted(params, images, input_ids, attention_mask, pixel_hw)
+    Returns fn(params, images, input_ids, labels, attention_mask,
+    row_image_idx, gt_masks, pixel_hw) -> (ForwardOutput, counts[M, 3, 2])
+    — the _jit_caches fwd contract."""
+    assert tuple(mesh.axis_names) == ("dp", "tp"), mesh.axis_names
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    cfg_l = dataclasses.replace(cfg, llm=tp_llm_cfg(cfg.llm, tp))
+    tp_axis = "tp" if tp > 1 else None
+
+    def local_fn(params, sam_tokens, input_ids, attention_mask, rii_local):
+        from ..models import walkgpt
+        return walkgpt.teacher_seg_embeds(
+            params, cfg_l, sam_tokens=sam_tokens, input_ids=input_ids,
+            attention_mask=attention_mask, row_image_idx=rii_local,
+            max_segs=max_segs, tp_axis=tp_axis)
+
+    jitted = {}
+
+    def get_jitted(enc: bool):
+        if enc not in jitted:
+            smapped = _make_tp_embeds_rii(mesh, cfg, param_specs, local_fn,
+                                          enc)
+
+            def wrapper(params, images, ids_perm, mask_perm, rii_local,
+                        perm_arr, row_image_idx, gt_masks, pixel_hw):
+                from ..eval.metrics import device_mask_counts
+                from ..models import walkgpt
+                from ..models.walkgpt import ForwardOutput
+                se, feats = smapped(params, images, ids_perm, mask_perm,
+                                    rii_local)
+                orig_rows = perm_arr[se.seg_rows]
+                keep, rows, emb = _compact_segs_sorted(
+                    se.seg_valid, orig_rows, se.pred_embeddings, max_segs,
+                    ids_perm.shape[0])
+                canvas, score = walkgpt.decode_seg_masks(
+                    params, cfg, feats, emb, row_image_idx[rows], pixel_hw)
+                nan = jnp.float32(jnp.nan)
+                out = ForwardOutput(loss=nan, ce_loss=nan, mask_bce_loss=nan,
+                                    mask_dice_loss=nan, nce_loss=nan,
+                                    mask_loss=nan, pred_masks=canvas,
+                                    seg_valid=keep, seg_rows=rows,
+                                    mask_scores=jnp.where(keep, score, 0.0))
+                counts = device_mask_counts(canvas,
+                                            gt_masks.astype(jnp.float32),
+                                            rows, row_image_idx, pixel_hw)
+                return out, counts
+            jitted[enc] = jax.jit(wrapper)
+        return jitted[enc]
+
+    def checked(params, images, input_ids, labels, attention_mask,
+                row_image_idx, gt_masks, pixel_hw):
+        del labels                           # teacher path reads input_ids
+        b = int(images.shape[0])
+        plan = plan_dp_rows(row_image_idx, input_ids, dp, b,
+                            cfg.image_token_id)
+        assert plan is not None, \
+            "make_tp_forward: rows cannot partition over " \
+            f"dp={dp} shards (see plan_dp_rows)"
+        perm, _inv, local = plan
+        enc = _pick_encode_shard(encode_shard, b, dp, tp)
+        ids = np.asarray(input_ids)[perm]
+        msk = np.asarray(attention_mask)[perm]
+        return get_jitted(enc)(
+            params, images, jnp.asarray(ids), jnp.asarray(msk),
+            jnp.asarray(local), jnp.asarray(perm),
+            jnp.asarray(row_image_idx), gt_masks, jnp.asarray(pixel_hw))
     return checked

@@ -117,8 +117,18 @@ def parse_args(argv):
                         "jitted program — BASELINE config 5's streaming "
                         "sharded eval; token-identical to single-device "
                         "(tests/test_infer_sharded.py). --val_batch_size "
-                        "must be a multiple of dp. tp>1 uses the XLA "
-                        "attention path (parallel/infer.mesh_config)")
+                        "must be a multiple of dp (and of dp*tp under "
+                        "shard_map)")
+    p.add_argument("--mesh_impl", default="auto",
+                   choices=["auto", "gspmd", "shard_map"],
+                   help="mesh execution strategy: 'shard_map' = manual "
+                        "dp x tp (parallel/tp.py) keeping the production "
+                        "Pallas kernels + quantized flat caches under tp>1 "
+                        "(SAM visual stream only); 'gspmd' = GSPMD "
+                        "programs (any stream; tp>1 downgrades to the XLA "
+                        "attention path, parallel/infer.mesh_config); "
+                        "'auto' picks shard_map when tp>1 and the stream "
+                        "is 'sam'")
     p.add_argument("--log_base_dir", default="./runs")
     p.add_argument("--exp_name", default="walkgpt_eval")
     p.add_argument("--save_responses_path", default="")
@@ -267,17 +277,41 @@ def decode_answer(tokenizer, token_row: np.ndarray, length: int) -> str:
     return text.replace("\n", " ").replace("  ", " ").strip()
 
 
-def _jit_caches(cfg, mesh=None):
+def _jit_caches(cfg, mesh=None, tp_bundle=None):
     """Shape-bucketed jits for the eval loops: prepare_batch buckets sequence
     lengths (x64) and seg counts (x8), so a handful of XLA programs serve the
     whole dataset instead of eager per-op dispatch.
 
     mesh: optional jax.sharding.Mesh — both programs then run GSPMD-sharded
     (params under parallel/sharding.param_pspecs, batch axes over 'dp', the
-    decode KV cache pinned via cache_constrainer)."""
+    decode KV cache pinned via cache_constrainer).
+    tp_bundle: {"mesh", "specs"} from the shard_map manual-tp setup
+    (parallel/tp.repack_params) — both programs then run as shard_map
+    manual dp x tp with the REPACKED params, keeping the Pallas kernels
+    and quantized flat caches under tp > 1. Takes precedence over mesh."""
     import functools
     import jax
     from ..models import walkgpt
+
+    if tp_bundle is not None:
+        from ..parallel import tp as tpmod
+        tmesh, tspecs = tp_bundle["mesh"], tp_bundle["specs"]
+
+        @functools.lru_cache(maxsize=16)
+        def tp_fwd(max_segs):
+            return tpmod.make_tp_forward(tmesh, cfg, tspecs,
+                                         max_segs=max_segs)
+
+        @functools.lru_cache(maxsize=16)
+        def tp_gen(max_new_tokens, max_segs, eos_id, visual_stream="sam",
+                   speculative_k=0):
+            assert visual_stream == "sam", \
+                "shard_map manual tp serves the SAM stream only"
+            return tpmod.make_tp_generate(
+                tmesh, cfg, tspecs, max_new_tokens=max_new_tokens,
+                max_segs=max_segs, eos_id=eos_id,
+                speculative_k=speculative_k)
+        return tp_fwd, tp_gen
 
     mesh_sh = {}
     if mesh is not None:
@@ -358,7 +392,8 @@ def _jit_caches(cfg, mesh=None):
     return fwd, gen
 
 
-def validate(args, cfg, params, tokenizer, dataset, logger=print, mesh=None):
+def validate(args, cfg, params, tokenizer, dataset, logger=print, mesh=None,
+             tp_bundle=None):
     import jax
     import jax.numpy as jnp
     from ..data.collate import collate_batch
@@ -369,7 +404,7 @@ def validate(args, cfg, params, tokenizer, dataset, logger=print, mesh=None):
 
     from ..data.prefetch import prefetch_map, shard_indices
 
-    fwd_cache, gen_cache = _jit_caches(cfg, mesh=mesh)
+    fwd_cache, gen_cache = _jit_caches(cfg, mesh=mesh, tp_bundle=tp_bundle)
 
     acc = IoUAccumulator()
     depth = DepthAccuracy()
@@ -553,7 +588,7 @@ def format_metric_line(dataset_name: str, res: dict) -> str:
 
 
 def ar_validate(args, cfg, params, tokenizer, dataset, logger=print,
-                mesh=None):
+                mesh=None, tp_bundle=None):
     """Hungarian-matched multi-mask evaluation for MultiReasonSeg-style data
     (reference ar_validate, train_walkgpt.py:836-1161 / evaluation_walkgpt.py
     :611-874): generate, decode all [SEG] masks, assign predictions to GT by
@@ -567,7 +602,7 @@ def ar_validate(args, cfg, params, tokenizer, dataset, logger=print,
 
     from ..data.prefetch import prefetch_map, shard_indices
 
-    _, gen_cache = _jit_caches(cfg, mesh=mesh)
+    _, gen_cache = _jit_caches(cfg, mesh=mesh, tp_bundle=tp_bundle)
     acc = IoUAccumulator()
     records = []
     acc_list = []                  # per-sample [giou_bg, giou_fg, max_num,
@@ -724,6 +759,7 @@ def main(argv=None):
 
     cfg = build_config(args, st.seg_token_idx)
     mesh = None
+    tp_bundle = None
     if getattr(args, "mesh", ""):
         import jax
         from ..parallel import infer, sharding as shd
@@ -732,12 +768,30 @@ def main(argv=None):
         assert max(1, args.val_batch_size) % dp == 0, (
             f"--val_batch_size {args.val_batch_size} must be a multiple of "
             f"dp={dp}")
+        impl = getattr(args, "mesh_impl", "auto")
+        if impl == "auto":
+            impl = ("shard_map" if tp > 1
+                    and getattr(args, "visual_stream", "sam") == "sam"
+                    else "gspmd")
         mesh = shd.make_mesh(dp=dp, tp=tp)
-        cfg = infer.mesh_config(cfg, tp=tp)
-        params = build_model(args, cfg)
-        params = infer.shard_params(params, mesh)
-        print(f"mesh inference: dp={dp} x tp={tp} over "
-              f"{dp * tp} of {len(jax.devices())} devices")
+        if impl == "shard_map":
+            # manual dp x tp (parallel/tp.py): the production Pallas
+            # kernels + quantized flat caches stay under tp>1; weights are
+            # REPACKED so even tp slices are valid local packs
+            assert getattr(args, "visual_stream", "sam") == "sam", \
+                "--mesh_impl shard_map supports the SAM stream only"
+            from ..parallel import tp as tpmod
+            params = build_model(args, cfg)
+            params, specs = tpmod.repack_params(params, cfg, mesh)
+            tp_bundle = {"mesh": mesh, "specs": specs}
+            print(f"mesh inference (shard_map manual tp): dp={dp} x tp={tp} "
+                  f"over {dp * tp} of {len(jax.devices())} devices")
+        else:
+            cfg = infer.mesh_config(cfg, tp=tp)
+            params = build_model(args, cfg)
+            params = infer.shard_params(params, mesh)
+            print(f"mesh inference (GSPMD): dp={dp} x tp={tp} over "
+                  f"{dp * tp} of {len(jax.devices())} devices")
     else:
         params = build_model(args, cfg)
 
@@ -769,10 +823,10 @@ def main(argv=None):
 
     if name == "MultiReasonSeg":
         res, text_log = ar_validate(args, cfg, params, tokenizer,
-                                    dataset, mesh=mesh)
+                                    dataset, mesh=mesh, tp_bundle=tp_bundle)
     else:
         res, text_log = validate(args, cfg, params, tokenizer, dataset,
-                                 mesh=mesh)
+                                 mesh=mesh, tp_bundle=tp_bundle)
 
     if args.save_responses_path:
         os.makedirs(os.path.dirname(args.save_responses_path) or ".",
