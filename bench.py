@@ -335,6 +335,59 @@ def main():
     med_dt = sorted(win_dt)[len(win_dt) // 2]
 
     value = batch / dt
+
+    # ---- analytic per-phase roofline attribution (VERDICT r4 next #5) ----
+    # Floors from first principles, not phase timers (the fused one-graph
+    # program has no host-visible phase boundaries): decode is HBM-bound
+    # (weight + KV reads at 819 GB/s v5e), encode/prefill are MXU-bound
+    # (197 TFLOP/s bf16; the int8-quantized phases can run up to 2x that,
+    # so their "floor" is conservative). measured/floor_sum ~ 1 means the
+    # schedule is at the hardware bound; the gap is overhead + phases not
+    # modeled (mask decode, scores, host).
+    lcfg = cfg.llm
+    kvd_an = lcfg.num_kv_heads * lcfg.head_dim
+    qkv_p = lcfg.num_layers * lcfg.hidden_size * (lcfg.hidden_size + 2 * kvd_an)
+    o_p = lcfg.num_layers * lcfg.hidden_size * lcfg.hidden_size
+    mlp_p = lcfg.num_layers * 3 * lcfg.hidden_size * lcfg.intermediate_size
+    head_p = lcfg.vocab_size * lcfg.hidden_size
+    wb = {"": 2.0, "int8": 1.0, "w8a8": 1.0, "int4": 1.0, "int4x": 1.0}
+    bpp = wb.get(quant, 2.0)
+    if quant in ("int4", "int4x"):
+        mlp_b = 0.5
+        qkv_b = 0.5 if quant == "int4x" else 1.0
+        head_b = 0.5 if quant == "int4x" else 1.0
+    else:
+        mlp_b = qkv_b = head_b = bpp
+    dec_weight_bytes = (qkv_p * qkv_b + o_p * bpp + mlp_p * mlp_b
+                        + head_p * head_b)
+    t_spliced = ids.shape[1] - 1 + 256
+    kv_elem_b = {"int4_flat": 0.5, "int4": 0.5, "int8_flat": 1.0,
+                 "int8": 1.0}.get(kv, 2.0)
+    avg_len = t_spliced + max_new / 2.0
+    dec_cache_bytes = (lcfg.num_layers * batch * avg_len * kvd_an
+                       * 2 * kv_elem_b)
+    hbm_bw = 819e9
+    decode_floor = max_new * (dec_weight_bytes + dec_cache_bytes) / hbm_bw
+    p_sam = cfg.sam.depth * (4 * cfg.sam.embed_dim ** 2
+                             + 8 * cfg.sam.embed_dim ** 2)
+    sam_tok = (cfg.sam.img_size // cfg.sam.patch_size) ** 2
+    peak = 197e12
+    encode_floor = 2.0 * p_sam * sam_tok * batch / peak
+    p_llm_mat = qkv_p + o_p + mlp_p + head_p
+    prefill_floor = 2.0 * p_llm_mat * batch * t_spliced / peak
+    floors = {
+        "decode_s": round(decode_floor, 3),
+        "encode_s": round(encode_floor, 3),
+        "prefill_s": round(prefill_floor, 3),
+        "sum_s": round(decode_floor + encode_floor + prefill_floor, 3),
+        "measured_s": round(dt, 3),
+        "pct_of_roofline": round(
+            (decode_floor + encode_floor + prefill_floor) / dt * 100, 1),
+        "note": ("decode = (weight+KV bytes)/819GB/s per step; encode/"
+                 "prefill = 2*P*tokens/197TF bf16 (int8 phases can beat "
+                 "their bf16 floor); mask decode + host excluded"),
+    }
+
     n_llm = nn.count_params({"llm": params["llm"]})
     a100 = a100_reference_imgs_per_sec(n_llm, max_new, batch)
     # the reference's own eval decodes UNBATCHED (evaluation_walkgpt.py:569:
@@ -360,6 +413,7 @@ def main():
         "median_img_s": round(batch / med_dt, 4),
         "discarded_warmup_windows_img_s": [round(batch / d, 3)
                                            for d in warm_dt],
+        "phase_floors": floors,
     }
     print(json.dumps(result))
     print(f"# params={n_params/1e9:.2f}B latency={dt*1000:.1f}ms/batch{batch} "

@@ -330,7 +330,9 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
                          flash_fn=None, kv_quant="",
                          prefill_chunk: int = 0,
                          cache_constrain=None,
-                         tp_axis: Optional[str] = None) -> GenerateResult:
+                         tp_axis: Optional[str] = None,
+                         draft_fn=None,
+                         force_accept: Optional[int] = None) -> GenerateResult:
     """Greedy decode with prompt-lookup speculative verification — every
     emitted token is the model's own argmax given its true prefix; only the
     schedule differs: each iteration verifies `draft_k` drafted tokens in
@@ -352,7 +354,20 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
 
     prompt_ids: optional [B, T] ids of the prompt timeline (IMAGE sentinel /
     pad positions < 0 are never matched) — extends the lookup window beyond
-    the generated text. Returns GenerateResult like greedy_generate."""
+    the generated text. Returns GenerateResult like greedy_generate.
+    draft_fn: optional fn(hist [B, L], hlen [B], n_gen [B]) -> [B, K] int32
+    replacing the prompt-lookup proposer — the acceptance-sweep harness
+    (benchmarks/bench_spec_curve.py) injects an oracle here to measure
+    throughput at CONTROLLED acceptance rates; verification is unchanged,
+    so emitted tokens stay the model's own greedy argmax.
+    force_accept: HARNESS-ONLY. Overrides the acceptance test so every
+    iteration accepts exactly this many drafts (+1 bonus token) regardless
+    of the match — per-iteration compute (draft proposal, chunk kernel,
+    scatter, bookkeeping) is unchanged, so the wall clock measures the
+    production schedule at an exactly-controlled acceptance rate even when
+    chunk-vs-wave argmax noise (random weights, quantized kernels) would
+    derail an oracle draft stream. OUTPUT TOKENS ARE NOT A VALID GREEDY
+    DECODE in this mode; never set outside benchmarking."""
     b, t, h = inputs_embeds.shape
     max_len = t + max_new_tokens
     layout = "heads"
@@ -409,7 +424,10 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     def body(c):
         (kv, cur, hid_cur, done, n_gen, cache_len, hist, hlen,
          out_tok, out_hid, out_val, n_iter) = c
-        props = _ngram_propose(hist, hlen, ngram, K)           # [B, K]
+        if draft_fn is not None:
+            props = draft_fn(hist, hlen, n_gen)                # [B, K]
+        else:
+            props = _ngram_propose(hist, hlen, ngram, K)       # [B, K]
         chunk = jnp.concatenate([cur[:, None], props], axis=1)  # [B, K+1]
         embeds = llm.embed(params, chunk).astype(inputs_embeds.dtype)
         hidden, kv = llm.decode_chunk(params, cfg, kv, embeds, cache_len,
@@ -418,6 +436,8 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
 
         ok = props == preds[:, :K]                             # [B, K]
         n_acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(-1)  # [B]
+        if force_accept is not None:
+            n_acc = jnp.full_like(n_acc, min(int(force_accept), K))
         # emitted this iteration: emit[0] = cur, emit[1+j] = props[j] (j<acc)
         emit = chunk                                           # [B, K+1]
         emit_hid = jnp.concatenate([hid_cur[:, None], hidden[:, :K]], axis=1)
