@@ -208,3 +208,69 @@ def test_full_generate_loop_parity(ref_model):
         union = (ours[i] | ref_masks[i]).sum()
         iou = 1.0 if union == 0 else (ours[i] & ref_masks[i]).sum() / union
         assert 1.0 - iou <= 1e-3, (i, iou)
+
+
+def test_full_generate_loop_parity_batched_rows(ref_model):
+    """Our BATCHED right-padded decode vs the reference's row-by-row loop
+    (evaluate() trims each row at the first 0-pad, model/walkgpt.py:620-626)
+    on two prompts of different lengths over two images — covers the
+    padding/position bookkeeping a single-row test cannot."""
+    import jax
+    import jax.numpy as jnp
+    from walkgpt_tpu.core.config import (LLMConfig, PromptEncoderConfig,
+                                         SAMEncoderConfig, WalkGPTConfig)
+    from walkgpt_tpu.models import walkgpt as wg
+    from walkgpt_tpu.runtime import checkpoint as ck
+
+    tm = ref_model
+    rng = np.random.RandomState(3)
+    images_t = torch.from_numpy(rng.randn(2, 3, 64, 64).astype(np.float32))
+    # row 0 length 7, row 1 length 5; 0-padded to 7 (the reference's pad)
+    ids = np.zeros((2, 7), np.int64)
+    ids[0] = [1, 7, 8, -200, 9, 10, 11]
+    ids[1, :5] = [1, 12, -200, 13, 14]
+
+    with torch.no_grad():
+        feats = tm.get_visual_embs(images_t)
+        sam_tokens = tm.get_model().out_mm_projector(
+            feats.flatten(2).transpose(1, 2))          # [2, 36, H]
+        # reference loop: one generate per row, images_clip row-matched
+        ref_rows = []
+        for r in range(2):
+            out_ids, _, _, _ = tm.evaluate(
+                sam_tokens[r:r + 1], images_t[r:r + 1],
+                torch.from_numpy(ids[r:r + 1]),
+                resize_list=[(48, 64)], clip_resize_list=None,
+                original_size_list=[(96, 128)], max_new_tokens=6)
+            row = out_ids[0].numpy()[0]
+            prompt_len = int((ids[r] != 0).sum())
+            ref_rows.append(row[prompt_len:])
+
+    cfg = WalkGPTConfig(
+        llm=LLMConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=4,
+                      max_position_embeddings=512),
+        sam=SAMEncoderConfig(img_size=64, patch_size=16, embed_dim=32,
+                             depth=2, num_heads=2, out_chans=256,
+                             window_size=2, global_attn_indexes=(1,)),
+        prompt_encoder=PromptEncoderConfig(embed_dim=256,
+                                           image_embedding_size=(4, 4),
+                                           input_image_size=(64, 64),
+                                           mask_in_chans=16),
+        clip=None, seg_token_id=SID, use_flash_attention=False)
+    sd = {k: np.asarray(v.detach().float().numpy())
+          for k, v in tm.state_dict().items()}
+    params = ck.convert_walkgpt_state(sd, cfg)
+
+    attn = ids != 0
+    ev = jax.jit(lambda p, im, ii, am, ri, phw: wg.generate_and_segment(
+        p, cfg, images=im, input_ids=ii, attention_mask=am,
+        row_image_idx=ri, pixel_hw=phw, max_new_tokens=6, max_segs=8,
+        eos_id=2))(
+        params, jnp.asarray(images_t.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(ids.astype(np.int32)), jnp.asarray(attn),
+        jnp.arange(2, dtype=jnp.int32), jnp.asarray([[48, 64]] * 2,
+                                                    jnp.int32))
+    for r in range(2):
+        got = np.asarray(ev.tokens)[r][: int(ev.lengths[r])]
+        np.testing.assert_array_equal(got, ref_rows[r], err_msg=f"row {r}")
