@@ -100,9 +100,14 @@ def main():
     # 16 -> 1.357, 20 -> 1.474, 24 -> 1.596 img/s; 26/28 OOM. +70% raw
     # over the round-3 batch-8 default; 11.28x the as-written unbatched
     # reference, 1.08x like-for-like batched).
+    # 1B ladder (round 5, sam_encode_chunk=8 + prefill_chunk=8 bound the
+    # transients): 16 -> 11.59, 24 -> 12.50, 32 -> 12.65 img/s (windows
+    # spread <0.1% each) — decode weight reads amortize over more rows
+    # while encode stays per-image; past 32 the encode share flattens the
+    # curve.
     batch = int(os.environ.get(
         "BENCH_BATCH",
-        {"7b": "48", "13b": "24"}.get(model_kind, "16")))
+        {"7b": "48", "13b": "24", "1b": "32"}.get(model_kind, "16")))
 
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
     if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
@@ -154,12 +159,12 @@ def main():
                               # batch-ladder note below)
                               sam_encode_chunk=int(os.environ.get(
                                   "BENCH_SAM_CHUNK",
-                                  {"13b": "4", "7b": "8"}.get(model_kind,
-                                                              "0"))),
+                                  {"13b": "4", "7b": "8",
+                                   "1b": "8"}.get(model_kind, "0"))),
                               prefill_chunk=int(os.environ.get(
                                   "BENCH_PREFILL_CHUNK",
-                                  {"13b": "4", "7b": "8"}.get(model_kind,
-                                                              "0"))),
+                                  {"13b": "4", "7b": "8",
+                                   "1b": "8"}.get(model_kind, "0"))),
                               # growing-cache decode segments are OFF: the
                               # segmented scans measured a large REGRESSION
                               # at the 512-token budget (1B batch16: 5782 ms

@@ -44,6 +44,59 @@ def pave_like_budgets(rng, n, cap):
 
 
 def main():
+    """Orchestrator: one SUBPROCESS per (engine, kv-format) measurement —
+    at 7B the wave's executables + the batcher's persistent slot pool
+    cannot share one 16 GB HBM arena (measured RESOURCE_EXHAUSTED even on
+    int8_flat); a fresh process per point sidesteps arena fragmentation
+    entirely, like benchmarks/bench_scales.py does per scale."""
+    import subprocess
+    kind = (sys.argv[1] if len(sys.argv) > 1
+            else os.environ.get("BENCH_MODEL", "1b"))
+    kv_list = sys.argv[2:] or (["int8_flat", "int4_flat"]
+                               if kind == "7b" else ["none"])
+    rnd = os.environ.get("BENCH_ROUND", "05")
+    results = []
+    meta = {}
+    for kv in kv_list:
+        for engine in ("wave", "batcher"):
+            env = dict(os.environ, BENCH_ENGINE=engine, BENCH_KVFMT=kv)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single",
+                 kind], env=env, capture_output=True, text=True,
+                timeout=3600)
+            line = ""
+            for ln in proc.stdout.splitlines():
+                print(ln, flush=True)
+                if ln.strip().startswith("{"):
+                    line = ln.strip()
+            if not line:
+                print(proc.stderr[-1500:], flush=True)
+                results.append({"kv_cache": kv, "engine": engine,
+                                "error": "no result (see log)"})
+                continue
+            rec = json.loads(line)
+            meta = rec.get("meta", meta)
+            rec.pop("meta", None)
+            results.append(rec)
+    out = {"metric": (f"continuous batcher vs wave decode ({kind}, "
+                      f"{meta.get('quant')} weights, batch "
+                      f"{meta.get('batch')}, prompt {meta.get('prompt')}, "
+                      f"PAVE-like budgets mean {meta.get('mean_budget')} "
+                      f"(cap {meta.get('max_new')}), {meta.get('n_req')} "
+                      f"requests, segment {meta.get('segment')}; wave = "
+                      f"whole-batch schedule paying max budget; one fresh "
+                      f"process per measurement)"),
+           "points": results}
+    print(json.dumps(out))
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"BENCH_serving_{kind}_r{rnd}.json")
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"# wrote {out_path}", flush=True)
+
+
+def single():
     import dataclasses
 
     import jax
@@ -54,10 +107,9 @@ def main():
     from walkgpt_tpu.runtime.generate import greedy_generate
     from walkgpt_tpu.runtime.serving import ContinuousBatcher
 
-    kind = (sys.argv[1] if len(sys.argv) > 1
-            else os.environ.get("BENCH_MODEL", "1b"))
-    kv_list = sys.argv[2:] or (["none", "int8_flat", "int4_flat"]
-                               if kind == "7b" else ["none"])
+    kind = sys.argv[2]
+    engine = os.environ["BENCH_ENGINE"]
+    kv_list = [os.environ["BENCH_KVFMT"]]
     base = {"1b": LLAMA_1B, "7b": LLAMA_7B, "demo": LLAMA_TINY}[kind]
     cfg = dataclasses.replace(base, vocab_size=32016)
     batch = int(os.environ.get("BENCH_BATCH", "16"))
@@ -92,9 +144,12 @@ def main():
     prompts = [list(map(int, np.random.RandomState(100 + i).randint(
         3, cfg.vocab_size - 16, prompt_len))) for i in range(n_req)]
 
-    results = []
-    for kv in kv_list:
-        kvq = "" if kv == "none" else kv
+    kv = kv_list[0]
+    kvq = "" if kv == "none" else kv
+    meta = {"quant": quant, "batch": batch, "prompt": prompt_len,
+            "max_new": max_new, "n_req": n_req, "segment": segment,
+            "mean_budget": round(mean_budget)}
+    if engine == "wave":
         # ---- wave: n_req/batch waves, every row pays max_new steps ----
         phase(f"[{kv}] wave compile")
         wave = jax.jit(lambda p, e, m: greedy_generate(
@@ -107,56 +162,42 @@ def main():
             acc.append(wave(params, embeds, mask).tokens.sum())
         float(sum(acc))
         wave_dt = time.perf_counter() - t0
-        # a wave serves n_req requests but only mean_budget tokens/request
-        # are USEFUL; img/s-equivalent charges the whole wave
         wave_req_s = n_req / wave_dt
         phase(f"[{kv}] wave: {wave_dt:.2f}s for {n_waves} waves "
               f"({wave_req_s:.3f} req/s)")
-
-        # ---- continuous batcher over the variable-length stream ----
-        phase(f"[{kv}] batcher compile + run ({n_req} reqs)")
-        batcher = ContinuousBatcher(params, cfg, batch_size=batch,
-                                    prompt_len=prompt_len,
-                                    max_new_tokens=max_new,
-                                    segment=segment, eos_id=-1,
-                                    kv_quant=kvq)
-        # warmup: compile admit/segment programs on a small stream
-        batcher.run(iter(prompts[:batch]), budgets=budgets[:batch])
-        t0 = time.perf_counter()
-        finished = batcher.run(iter(prompts), budgets=budgets)
-        cb_dt = time.perf_counter() - t0
-        n_tok = sum(len(f.tokens) for f in finished)
-        cb_req_s = len(finished) / cb_dt
-        phase(f"[{kv}] batcher: {cb_dt:.2f}s, {n_tok} tokens "
-              f"({cb_req_s:.3f} req/s)")
-        results.append({
-            "kv_cache": kv,
-            "wave_seconds": round(wave_dt, 2),
-            "wave_requests_per_sec": round(wave_req_s, 3),
-            "wave_tokens_per_sec": round(n_waves * batch * max_new
-                                         / wave_dt, 1),
-            "batcher_seconds": round(cb_dt, 2),
-            "batcher_requests_per_sec": round(cb_req_s, 3),
-            "batcher_useful_tokens_per_sec": round(n_tok / cb_dt, 1),
-            "batcher_vs_wave_requests": round(cb_req_s / wave_req_s, 3),
-        })
-
-    rec = {
-        "metric": (f"continuous batcher vs wave decode ({kind} {quant} "
-                   f"weights, batch {batch}, prompt {prompt_len}, "
-                   f"PAVE-like budgets mean {mean_budget:.0f} (cap "
-                   f"{max_new}), {n_req} requests, segment {segment}; "
-                   f"wave = whole-batch schedule paying max budget)"),
-        "points": results,
-    }
-    print(json.dumps(rec))
-    out_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"BENCH_serving_{kind}_r{rnd}.json")
-    with open(out_path, "w") as f:
-        json.dump(rec, f, indent=1)
-    phase(f"wrote {out_path}")
+        print(json.dumps({
+            "kv_cache": kv, "engine": "wave", "meta": meta,
+            "seconds": round(wave_dt, 2),
+            "requests_per_sec": round(wave_req_s, 3),
+            "tokens_per_sec": round(n_waves * batch * max_new / wave_dt, 1),
+        }))
+        return
+    # ---- continuous batcher over the variable-length stream ----
+    phase(f"[{kv}] batcher compile + run ({n_req} reqs)")
+    batcher = ContinuousBatcher(params, cfg, batch_size=batch,
+                                prompt_len=prompt_len,
+                                max_new_tokens=max_new,
+                                segment=segment, eos_id=-1,
+                                kv_quant=kvq)
+    # warmup: compile admit/segment programs on a small stream
+    batcher.run(iter(prompts[:batch]), budgets=budgets[:batch])
+    t0 = time.perf_counter()
+    finished = batcher.run(iter(prompts), budgets=budgets)
+    cb_dt = time.perf_counter() - t0
+    n_tok = sum(len(f.tokens) for f in finished)
+    cb_req_s = len(finished) / cb_dt
+    phase(f"[{kv}] batcher: {cb_dt:.2f}s, {n_tok} tokens "
+          f"({cb_req_s:.3f} req/s)")
+    print(json.dumps({
+        "kv_cache": kv, "engine": "batcher", "meta": meta,
+        "seconds": round(cb_dt, 2),
+        "requests_per_sec": round(cb_req_s, 3),
+        "useful_tokens_per_sec": round(n_tok / cb_dt, 1),
+    }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        single()
+    else:
+        main()

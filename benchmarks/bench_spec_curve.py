@@ -97,16 +97,19 @@ def main():
           f"({wave_dt / steps * 1000:.2f} ms/step)")
 
     del wave_tokens
+    # force_accept rides as a TRACED argument: one compiled program serves
+    # every sweep point (a per-point constant recompiled the full 13B graph
+    # ~17 min/point on v5e)
+    spec = jax.jit(lambda p, e, m, fa: speculative_generate(
+        p, lcfg, e, m, max_new_tokens=steps, eos_id=eos,
+        kv_quant=kv, draft_k=draft_k, force_accept=fa))
     results = []
     for a in accepts:
         a = min(a, draft_k)
-        spec = jax.jit(lambda p, e, m, a=a: speculative_generate(
-            p, lcfg, e, m, max_new_tokens=steps, eos_id=eos,
-            kv_quant=kv, draft_k=draft_k, force_accept=a))
-        out_s = spec(params, embeds, mask)
+        out_s = spec(params, embeds, mask, jnp.int32(a))
         float(out_s.tokens.sum())
         t1 = time.perf_counter()
-        out_s = spec(params, embeds, mask)
+        out_s = spec(params, embeds, mask, jnp.int32(a))
         n_iter = int(out_s.n_iters)
         float(out_s.tokens.sum())
         dt = time.perf_counter() - t1

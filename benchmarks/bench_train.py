@@ -88,7 +88,9 @@ def main():
     remat = qlora
     if qlora:
         # bound SAM/prefill activation transients like the e2e eval configs
-        cfg = dataclasses.replace(cfg, sam_encode_chunk=min(2, batch))
+        chunk = int(os.environ.get("BENCH_TRAIN_SAM_CHUNK",
+                                   str(min(2, batch))))
+        cfg = dataclasses.replace(cfg, sam_encode_chunk=chunk)
 
     phase(f"{model}: init params (qlora={qlora})")
     if qlora:

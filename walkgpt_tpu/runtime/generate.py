@@ -360,7 +360,8 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     (benchmarks/bench_spec_curve.py) injects an oracle here to measure
     throughput at CONTROLLED acceptance rates; verification is unchanged,
     so emitted tokens stay the model's own greedy argmax.
-    force_accept: HARNESS-ONLY. Overrides the acceptance test so every
+    force_accept: HARNESS-ONLY (python int or traced int32 scalar).
+    Overrides the acceptance test so every
     iteration accepts exactly this many drafts (+1 bonus token) regardless
     of the match — per-iteration compute (draft proposal, chunk kernel,
     scatter, bookkeeping) is unchanged, so the wall clock measures the
@@ -437,7 +438,11 @@ def speculative_generate(params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
         ok = props == preds[:, :K]                             # [B, K]
         n_acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(-1)  # [B]
         if force_accept is not None:
-            n_acc = jnp.full_like(n_acc, min(int(force_accept), K))
+            # python int or TRACED scalar (the acceptance-sweep harness
+            # passes it as a jit argument so one compiled program serves
+            # every sweep point)
+            n_acc = jnp.full_like(
+                n_acc, jnp.minimum(jnp.asarray(force_accept, jnp.int32), K))
         # emitted this iteration: emit[0] = cur, emit[1+j] = props[j] (j<acc)
         emit = chunk                                           # [B, K+1]
         emit_hid = jnp.concatenate([hid_cur[:, None], hidden[:, :K]], axis=1)
