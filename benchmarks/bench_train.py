@@ -94,9 +94,15 @@ def main():
 
     phase(f"{model}: init params (qlora={qlora})")
     if qlora:
+        # 13B needs the per-projection int4 attention base (LoRA-compatible,
+        # ops/quant.convert_attn_int4_proj): the int8 attention base left
+        # the step RESOURCE_EXHAUSTED even at batch 1 (2026-08-21)
+        attn4 = os.environ.get("BENCH_TRAIN_ATTN",
+                               "int4p" if model == "13b" else "int8")
         params = walkgpt.init_quantized(
             jax.random.PRNGKey(0), cfg, jnp.bfloat16, act_quant=False,
-            mlp_int4=True, sam_int8=True, quantize_lm_head=False)
+            mlp_int4=True, sam_int8=True, quantize_lm_head=False,
+            attn_int4_proj=attn4 == "int4p")
         params["llm"] = ck.init_lora(params["llm"], jax.random.PRNGKey(7),
                                      r=8, alpha=16.0)
     else:

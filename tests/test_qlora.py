@@ -148,3 +148,40 @@ def test_qlora_guards(setup):
                                quantize_lm_head=False)
     with pytest.raises(ValueError, match="act_quant=False"):
         tr.init_qlora_state(bad2, tcfg)
+
+
+def test_qlora_int4_proj_attention_base(setup):
+    """Per-projection packed-int4 attention base (convert_attn_int4_proj —
+    the 13B-fits-one-chip lever): the partitioned step runs, integer bases
+    stay frozen, adapters move; and init_lora can attach FRESH adapters
+    directly onto a w_p4 base (the bench_train order)."""
+    tok, st, cfg, params = setup
+    qparams = dict(params)
+    qparams["llm"] = quantize_llm(params["llm"], act_quant=False,
+                                  mlp_int4=True, attn_int4_proj=True,
+                                  quantize_lm_head=False)
+    fq = _flat(qparams)
+    assert any(k.endswith("attn/q/w_p4") for k in fq)
+    assert any(k.endswith("attn/q/lora_a") for k in fq)   # adapters survive
+    batch, max_segs = device_batch(tok)
+    tcfg = tr.TrainConfig(warmup_steps=1, total_steps=10)
+    state, opt, frozen = tr.init_qlora_state(qparams, tcfg)
+    b0 = {k: np.asarray(v) for k, v in _flat(state.params).items()
+          if k.endswith("lora_b")}
+    for _ in range(2):
+        state, metrics = tr.qlora_train_step(
+            state, frozen, batch, opt=opt, model_cfg=cfg, max_segs=max_segs)
+    assert np.isfinite(float(metrics["loss"]))
+    b1 = {k: np.asarray(v) for k, v in _flat(state.params).items()
+          if k.endswith("lora_b")}
+    assert any(np.abs(b1[k] - b0[k]).max() > 0 for k in b1)
+
+    # fresh-LoRA attach onto an already-int4 base (init_lora w_p4 branch)
+    bare = quantize_llm(walkgpt.init(jax.random.PRNGKey(1), cfg)["llm"],
+                        act_quant=False, mlp_int4=True, attn_int4_proj=True,
+                        quantize_lm_head=False)
+    withlora = ck.init_lora(bare, jax.random.PRNGKey(2), r=4, alpha=8.0)
+    fl = _flat(withlora)
+    a = next(v for k, v in fl.items() if k.endswith("attn/q/lora_a"))
+    p4 = next(v for k, v in fl.items() if k.endswith("attn/q/w_p4"))
+    assert a.shape == (p4.shape[0] * 2, 4)

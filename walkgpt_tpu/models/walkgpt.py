@@ -74,6 +74,7 @@ def init(key, cfg: WalkGPTConfig, dtype=jnp.float32, *, llm_init=None) -> Dict:
 def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
                    act_quant: bool = False, sam_int8: bool = False,
                    mlp_int4: bool = False, attn_int4: bool = False,
+                   attn_int4_proj: bool = False,
                    head_int4: bool = False,
                    quantize_lm_head: bool = True) -> Dict:
     """Same layout/keys as init(), but the LLM is built int8-quantized
@@ -93,6 +94,7 @@ def init_quantized(key, cfg: WalkGPTConfig, dtype=jnp.bfloat16,
                                              act_quant=act_quant,
                                              mlp_int4=mlp_int4,
                                              attn_int4=attn_int4,
+                                             attn_int4_proj=attn_int4_proj,
                                              head_int4=head_int4,
                                              quantize_lm_head=quantize_lm_head))
     if sam_int8:

@@ -44,6 +44,7 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
                        act_quant: bool = False,
                        mlp_int4: bool = False,
                        attn_int4: bool = False,
+                       attn_int4_proj: bool = False,
                        head_int4: bool = False,
                        quantize_lm_head: bool = True) -> Dict:
     """Random-init an int8-quantized LLM directly on the default device,
@@ -65,7 +66,9 @@ def quantized_llm_init(key, cfg, dtype=None, *, jit_layer=True,
 
     def build_one(k):
         layer = llm_mod.init_layer(k, cfg, dtype)
-        if attn_int4:
+        if attn_int4_proj:
+            layer["attn"] = convert_attn_int4_proj(layer["attn"])
+        elif attn_int4:
             layer["attn"] = convert_attn_int4(layer["attn"], act_quant)
         elif act_quant:
             layer["attn"] = convert_attn_qkv8(layer["attn"], act_quant)
@@ -163,6 +166,28 @@ def convert_attn_int4(attn: Dict, act_quant: bool = True) -> Dict:
     return out
 
 
+def convert_attn_int4_proj(attn: Dict) -> Dict:
+    """PER-PROJECTION packed-int4 attention (q/k/v/o each {"w_p4",
+    "w_scale"}, core.nn.linear's dual-dot path) — the QLoRA-compatible int4
+    base: unlike convert_attn_int4's fused "qkv4", the projections stay
+    separate dicts, so checkpoint.init_lora can attach r=8 adapters to
+    q/v and models/llm._proj adds the low-rank path on top. Halves the
+    13B attention base vs int8 (4.2 -> 2.1 GB) — the margin that lets the
+    QLoRA train step fit one 16 GB chip. Falls back to int8 for biased
+    projections (int4 paths are bias-free)."""
+    from . import int4 as int4_lib
+    out = {}
+    for k, v in attn.items():
+        if _is_proj(v) and "b" not in v and v["w"].shape[0] % 2 == 0:
+            extra = {kk: vv for kk, vv in v.items() if kk != "w"}
+            out[k] = dict(int4_lib.quantize_weight4(v["w"]), **extra)
+        elif _is_proj(v):
+            out[k] = convert_proj(v)
+        else:
+            out[k] = v
+    return out
+
+
 def convert_attn_qkv8(attn: Dict, act_quant: bool = True) -> Dict:
     """Fuse q/k/v into ONE concatenated int8 projection ("qkv8"): the W8A8
     decode step then quantizes the activation once and runs one int8 MXU dot
@@ -221,7 +246,8 @@ def quantize_sam_encoder(sam_params: Dict, act_quant: bool = False) -> Dict:
 
 def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
                  act_quant: bool = False, mlp_int4: bool = False,
-                 attn_int4: bool = False, head_int4: bool = False,
+                 attn_int4: bool = False, attn_int4_proj: bool = False,
+                 head_int4: bool = False,
                  quantize_lm_head: bool = True) -> Dict:
     """int8-quantize all 2-D projection weights of an LLM param tree
     (attention q/k/v/o, MLP, lm_head; embeddings optional — the embedding
@@ -235,7 +261,9 @@ def quantize_llm(llm_params: Dict, *, quantize_embeddings: bool = False,
     p["layers"] = []
     for layer in llm_params["layers"]:
         new_layer = dict(layer)
-        if attn_int4:
+        if attn_int4_proj:
+            new_layer["attn"] = convert_attn_int4_proj(layer["attn"])
+        elif attn_int4:
             new_layer["attn"] = convert_attn_int4(layer["attn"], act_quant)
         elif act_quant:
             new_layer["attn"] = convert_attn_qkv8(layer["attn"], act_quant)

@@ -550,8 +550,13 @@ def init_lora(llm_params: Dict, key, *, r: int = 8, alpha: float = 16.0,
     for layer in p["layers"]:
         for name in canon:
             proj = layer["attn"][name]
-            base = proj["w"] if "w" in proj else proj["w_q"]
-            d_in, d_out = base.shape
+            if "w_p4" in proj:      # packed int4: [K/2, N] half-pair layout
+                d_in = int(proj["w_p4"].shape[0]) * 2
+                d_out = int(proj["w_p4"].shape[1])
+                base = proj["w_p4"]
+            else:
+                base = proj["w"] if "w" in proj else proj["w_q"]
+                d_in, d_out = base.shape
             if dtype is None:
                 dtype = base.dtype if base.dtype != jnp.int8 else jnp.float32
             layer["attn"][name] = dict(
