@@ -101,13 +101,13 @@ def main():
     # over the round-3 batch-8 default; 11.28x the as-written unbatched
     # reference, 1.08x like-for-like batched).
     # 1B ladder (round 5, sam_encode_chunk=8 + prefill_chunk=8 bound the
-    # transients): 16 -> 11.59, 24 -> 12.50, 32 -> 12.65 img/s (windows
-    # spread <0.1% each) — decode weight reads amortize over more rows
-    # while encode stays per-image; past 32 the encode share flattens the
-    # curve.
+    # transients): 16 -> 11.59, 24 -> 12.50, 32 -> 12.65, 40 -> 12.76,
+    # 48 -> 12.87 img/s (windows spread <0.1% each) — decode weight reads
+    # amortize over more rows while encode stays per-image; the encode
+    # share flattens the curve toward its ~48%-of-roofline asymptote.
     batch = int(os.environ.get(
         "BENCH_BATCH",
-        {"7b": "48", "13b": "24", "1b": "32"}.get(model_kind, "16")))
+        {"7b": "48", "13b": "24", "1b": "48"}.get(model_kind, "16")))
 
     tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
     if tok_kind == "bpe" and os.path.exists("/root/reference/datasets/val.jsonl"):
