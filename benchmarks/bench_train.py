@@ -10,7 +10,15 @@
         int8-attention + packed-int4-MLP frozen base (act_quant=False —
         W8A8's round() has zero gradient), dense trainable lm_head/embed,
         fresh r=8 LoRA on q/v, int8 SAM encoder, partitioned
-        qlora_train_step with remat (the 16 GB fit lever).
+        qlora_train_step with remat (the 16 GB fit lever). 13b uses the
+        per-projection int4 attention base (BENCH_TRAIN_ATTN=int4p,
+        ops/quant.convert_attn_int4_proj) — with int8 attention the step
+        is RESOURCE_EXHAUSTED even at batch 1 (v5e, 2026-08-21).
+
+Measured batch ladder (v5e, 2026-08-21): 7b int8-attn batch 4 = 2.63 ex/s
+(MFU 0.58) is the optimum — int4p attn at batch 8 measured 2.42 ex/s
+(MFU 0.53): the int4 dual-dot unpack costs more than the extra batch
+buys. 13b int4p batch 2 = 1.52 ex/s (MFU 0.61); batch 4 OOMs.
 
 MFU accounting (printed into the artifact):
   * LLM matmul params P_llm from the config (attn 2H(H+kvd) + MLP 3HI per
