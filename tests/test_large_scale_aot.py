@@ -160,3 +160,54 @@ def test_13b_layer_slice_executes_tp8():
     got = jax.jit(fwd)(sharded, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_13b_manual_tp_generate_lowering_tp8():
+    """The MANUAL shard_map dp=1 x tp=8 generate (parallel/tp.py — the
+    production-kernel path) jit-lowers at the FULL 13B int4x scale with
+    abstract weights: validates the repacked-format divisibility (40 kv
+    heads -> 5/device, I=13824 -> 1728 tile-64 down packs, fused qkv
+    permutation at real widths), the per-layer psums, and the kv-head-
+    sharded banded-kernel shapes — none of which the tiny-config identity
+    tests exercise at 13B dims."""
+    import dataclasses
+    from walkgpt_tpu.ops.quant import quantize_llm, quantize_sam_encoder
+    from walkgpt_tpu.parallel import tp as tpmod
+    from jax.sharding import Mesh
+
+    cfg = dataclasses.replace(walkgpt_13b_config(seg_token_id=32000),
+                              clip=None, kv_quant_cache="int4_flat",
+                              sam_encode_chunk=0, prefill_chunk=0)
+
+    def build(k):
+        p = walkgpt.init(k, cfg, dtype=jnp.bfloat16)
+        p["llm"] = quantize_llm(p["llm"], act_quant=True, mlp_int4=True,
+                                attn_int4=True, head_int4=True)
+        p["sam"] = quantize_sam_encoder(p["sam"], act_quant=True)
+        return p
+
+    params_abs = jax.eval_shape(build, jax.random.PRNGKey(0))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8), ("dp", "tp"))
+    # values repacked abstractly; specs derived value-free (spec_only)
+    tp_abs = jax.eval_shape(
+        lambda p: tpmod.repack_params(p, cfg, mesh, place=False)[0],
+        params_abs)
+    _, specs = tpmod.repack_params(params_abs, cfg, mesh, spec_only=True)
+
+    b, t = 8, 64
+    s = cfg.sam.img_size
+    images_abs = jax.ShapeDtypeStruct((b, s, s, 3), jnp.bfloat16)
+    ids = np.full((b, t), 7, np.int64)
+    ids[:, 1] = -200
+    gen = tpmod.make_tp_generate(mesh, cfg, specs, max_new_tokens=16,
+                                 max_segs=16, eos_id=2)
+    lowered = gen(tp_abs, images_abs, ids, ids != 0,
+                  np.arange(b, dtype=np.int32),
+                  np.full((b, 2), s, np.int32), lower_only=True)
+    text = lowered.as_text()
+    # lowering succeeded at full 13B scale; sanity: 8-way partitioning and
+    # the shard_map manual region are present (Shardy dialect)
+    assert "num_partitions = 8" in text
+    assert "sdy.manual_computation" in text or "all_reduce" in text

@@ -131,16 +131,18 @@ def _repack_down_p4t(p4t: jnp.ndarray, tp: int) -> jnp.ndarray:
     return jnp.concatenate([_pack_p4t(s) for s in shards], axis=0)
 
 
-def _proj_specs(d: Params, kind: str, tp: int, cfg: LLMConfig
-                ) -> Tuple[Params, Params]:
+def _proj_specs(d: Params, kind: str, tp: int, cfg: LLMConfig,
+                spec_only: bool = False) -> Tuple[Params, Params]:
     """(repacked leaf dict, spec dict) for one projection param dict.
     kind: "col" (q/k/v/gate/up/fc1 — output sharded), "row" (o/down/fc2 —
     input sharded, partial outputs psum), "qkv" (fused qkv4/qkv8 container),
-    "rep" (replicated)."""
+    "rep" (replicated). spec_only=True skips the value transforms (leaves
+    pass through untouched) — the AOT path derives specs from ABSTRACT
+    ShapeDtypeStruct trees that the array ops cannot consume."""
     out_d, out_s = {}, {}
     for key, leaf in d.items():
         if key in ("qkv4", "qkv8"):
-            sub_d, sub_s = _proj_specs(leaf, "qkv", tp, cfg)
+            sub_d, sub_s = _proj_specs(leaf, "qkv", tp, cfg, spec_only)
             out_d[key], out_s[key] = sub_d, sub_s
             continue
         nd = getattr(leaf, "ndim", 0)
@@ -151,10 +153,12 @@ def _proj_specs(d: Params, kind: str, tp: int, cfg: LLMConfig
             # packs. w_p4 packs along IN (global halves) so its column
             # order is untouched by the permutation of OUT columns.
             if key in ("w_q", "w_p4", "w") and nd == 2:
-                out_d[key] = _permute_qkv_cols(leaf, cfg, tp, axis=1)
+                out_d[key] = leaf if spec_only else _permute_qkv_cols(
+                    leaf, cfg, tp, axis=1)
                 out_s[key] = P(None, "tp")
             elif key in ("w_scale", "b") and nd == 1:
-                out_d[key] = _permute_qkv_cols(leaf, cfg, tp, axis=0)
+                out_d[key] = leaf if spec_only else _permute_qkv_cols(
+                    leaf, cfg, tp, axis=0)
                 out_s[key] = P("tp")
             else:
                 out_d[key], out_s[key] = leaf, P()
@@ -173,13 +177,13 @@ def _proj_specs(d: Params, kind: str, tp: int, cfg: LLMConfig
                     "manual tp: LoRA on row-parallel projections (o/down) — "
                     "the reference trains q/v only; merge first")
             if key == "w_p4t" and nd == 2:
-                out_d[key] = _repack_down_p4t(leaf, tp)
+                out_d[key] = leaf if spec_only else _repack_down_p4t(leaf, tp)
                 out_s[key] = P("tp", None)
             elif key in ("w", "w_q") and nd == 2:
                 out_d[key], out_s[key] = leaf, P("tp", None)
             elif key == "b" and nd == 1:
                 # each shard adds b with its partial sum; psum x tp -> /tp
-                out_d[key] = leaf / tp
+                out_d[key] = leaf if spec_only else leaf / tp
                 out_s[key] = P()
             else:                       # w_scale (per-OUT channel), a8
                 out_d[key], out_s[key] = leaf, P()
@@ -188,8 +192,8 @@ def _proj_specs(d: Params, kind: str, tp: int, cfg: LLMConfig
     return out_d, out_s
 
 
-def repack_llm_tp(llm_params: Params, cfg: LLMConfig, tp: int
-                  ) -> Tuple[Params, Params]:
+def repack_llm_tp(llm_params: Params, cfg: LLMConfig, tp: int,
+                  spec_only: bool = False) -> Tuple[Params, Params]:
     """(params', specs): a global LLM tree laid out so shard_map's even
     slices along the spec'd axes are each device's valid local weights —
     for dense, int8 (weight-only and W8A8), fused qkv8/qkv4, and the
@@ -209,13 +213,13 @@ def repack_llm_tp(llm_params: Params, cfg: LLMConfig, tp: int
                         for pk, pv in gv.items():
                             if pk in ("qkv4", "qkv8"):
                                 nd[pk], sd[pk] = _proj_specs(pv, "qkv", tp,
-                                                             cfg)
+                                                             cfg, spec_only)
                             elif pk in ("q", "k", "v"):
                                 nd[pk], sd[pk] = _proj_specs(pv, "col", tp,
-                                                             cfg)
+                                                             cfg, spec_only)
                             elif pk == "o":
                                 nd[pk], sd[pk] = _proj_specs(pv, "row", tp,
-                                                             cfg)
+                                                             cfg, spec_only)
                             else:
                                 nd[pk], sd[pk] = _proj_specs(
                                     pv, "rep", tp, cfg) if isinstance(
@@ -226,10 +230,10 @@ def repack_llm_tp(llm_params: Params, cfg: LLMConfig, tp: int
                         for pk, pv in gv.items():
                             if pk in ("down", "fc2"):
                                 nd[pk], sd[pk] = _proj_specs(pv, "row", tp,
-                                                             cfg)
+                                                             cfg, spec_only)
                             elif pk in ("gate", "up", "fc1"):
                                 nd[pk], sd[pk] = _proj_specs(pv, "col", tp,
-                                                             cfg)
+                                                             cfg, spec_only)
                             else:
                                 nd[pk], sd[pk] = _proj_specs(
                                     pv, "rep", tp, cfg) if isinstance(
@@ -248,7 +252,8 @@ def repack_llm_tp(llm_params: Params, cfg: LLMConfig, tp: int
 
 
 def repack_params(params: Params, cfg, mesh: Mesh,
-                  place: bool = True) -> Tuple[Params, Params]:
+                  place: bool = True,
+                  spec_only: bool = False) -> Tuple[Params, Params]:
     """Full WalkGPT tree: the LLM repacks for tp; every other module
     (SAM, CLIP, MSQP, CTP, TinyCrossAttn, mm_projector) replicates. With
     place=True the repacked tree is device_put onto the mesh with the
@@ -257,11 +262,12 @@ def repack_params(params: Params, cfg, mesh: Mesh,
     out, specs = {}, {}
     for key, val in params.items():
         if key == "llm":
-            out[key], specs[key] = repack_llm_tp(val, cfg.llm, tp)
+            out[key], specs[key] = repack_llm_tp(val, cfg.llm, tp,
+                                                 spec_only=spec_only)
         else:
             out[key] = val
             specs[key] = jax.tree_util.tree_map(lambda _: P(), val)
-    if place:
+    if place and not spec_only:
         def put(x, s):
             if not hasattr(x, "ndim"):
                 return x
@@ -408,7 +414,11 @@ def make_tp_generate(mesh: Mesh, cfg, param_specs: Params, *,
         return jitted[enc]
 
     def checked(params, images, input_ids, attention_mask, row_image_idx,
-                pixel_hw):
+                pixel_hw, lower_only: bool = False):
+        """lower_only=True returns jax.jit(...).lower(...) instead of
+        executing — the AOT scale test lowers the 13B tp=8 program with
+        ABSTRACT params/images (input_ids etc. stay concrete: the host
+        row-permutation plan reads their values)."""
         b = int(images.shape[0])
         plan = plan_dp_rows(row_image_idx, input_ids, dp, b,
                             cfg.image_token_id)
@@ -419,11 +429,13 @@ def make_tp_generate(mesh: Mesh, cfg, param_specs: Params, *,
         enc = _pick_encode_shard(encode_shard, b, dp, tp)
         ids = np.asarray(input_ids)[perm]
         msk = np.asarray(attention_mask)[perm]
-        return get_jitted(enc)(
-            params, images, jnp.asarray(ids), jnp.asarray(msk),
-            jnp.asarray(local), jnp.asarray(perm),
-            jnp.asarray(inv), jnp.asarray(row_image_idx),
-            jnp.asarray(pixel_hw))
+        args = (params, images, jnp.asarray(ids), jnp.asarray(msk),
+                jnp.asarray(local), jnp.asarray(perm),
+                jnp.asarray(inv), jnp.asarray(row_image_idx),
+                jnp.asarray(pixel_hw))
+        if lower_only:
+            return get_jitted(enc).lower(*args)
+        return get_jitted(enc)(*args)
     return checked
 
 
