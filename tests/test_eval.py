@@ -132,8 +132,9 @@ def test_eval_cli_smoke(tmp_path):
 
 def test_eval_cli_mesh_smoke(tmp_path):
     """--mesh dp,tp streaming eval (BASELINE config 5) on the real manifest:
-    the sharded program must produce the same responses artifact as the
-    single-device CLI (token-identical greedy under GSPMD)."""
+    BOTH mesh implementations (GSPMD and the manual shard_map tp path —
+    --mesh_impl auto picks shard_map at tp>1 on the SAM stream) must
+    produce the same responses artifact as the single-device CLI."""
     import json
     import os
     if not os.path.exists("/root/reference/datasets/val.jsonl"):
@@ -149,10 +150,13 @@ def test_eval_cli_mesh_smoke(tmp_path):
             "--val_batch_size", "2", "--no_console_text"]
     out_1 = str(tmp_path / "single.json")
     main(base + ["--save_responses_path", out_1])
-    out_m = str(tmp_path / "mesh.json")
-    res = main(base + ["--mesh", "2,4", "--save_responses_path", out_m])
-    assert set(res) >= {"giou", "ciou", "ap50"}
-    assert json.load(open(out_m)) == json.load(open(out_1))
+    want = json.load(open(out_1))
+    for impl in ("shard_map", "gspmd"):
+        out_m = str(tmp_path / f"mesh_{impl}.json")
+        res = main(base + ["--mesh", "2,4", "--mesh_impl", impl,
+                           "--save_responses_path", out_m])
+        assert set(res) >= {"giou", "ciou", "ap50"}
+        assert json.load(open(out_m)) == want, impl
 
 
 def test_iou_accumulator_matches_reference_recomputation():
