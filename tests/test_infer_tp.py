@@ -264,3 +264,40 @@ def test_tp_forward_teacher_pass_with_row_permutation():
     drift = np.abs(np.asarray(out.pred_masks)[sv]
                    - np.asarray(ref.pred_masks)[rsv]).max()
     assert drift < 1e-3, drift
+
+
+def test_plan_dp_rows_edge_cases():
+    """Host row-partition planner: feasible skew, pad-row filling,
+    infeasible overload, non-divisible shapes."""
+    I = -200  # image sentinel column marker
+
+    def ids_for(has_img):
+        out = np.zeros((len(has_img), 4), np.int32)
+        out[:, 0] = 1
+        for i, h in enumerate(has_img):
+            if h:
+                out[i, 2] = I
+        return out
+
+    # skewed rounds: img0 has 3 rows, img1 has 1; dp=2 -> shard0 must give
+    # one of its real rows? no — shard0 (img0) holds 3 real + shard1 (img1)
+    # 1 real + pads fill to 4/4 with R=8
+    rii = np.array([0, 0, 0, 1, 0, 0, 0, 0], np.int32)
+    has = [True, True, True, True, False, False, False, False]
+    plan = tpmod.plan_dp_rows(rii, ids_for(has), dp=2, n_images=2)
+    assert plan is not None
+    perm, inv, local = plan
+    assert sorted(perm[:4].tolist()) == [0, 1, 2, 4] or \
+        sorted(perm[:4].tolist())[:3] == [0, 1, 2]
+    np.testing.assert_array_equal(perm[inv], np.arange(8))
+    assert local.max() == 0          # 1 image per shard -> local idx 0
+
+    # overload: 5 real rows for shard0's image but only 4 slots
+    rii = np.array([0, 0, 0, 0, 0, 1, 0, 0], np.int32)
+    has = [True] * 6 + [False, False]
+    assert tpmod.plan_dp_rows(rii, ids_for(has), dp=2, n_images=2) is None
+
+    # non-divisible image count
+    rii = np.array([0, 1, 2, 0], np.int32)
+    has = [True, True, True, False]
+    assert tpmod.plan_dp_rows(rii, ids_for(has), dp=2, n_images=3) is None
